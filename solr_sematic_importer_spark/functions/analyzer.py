@@ -1,0 +1,151 @@
+"""Text analysis chains matching the reference's Solr field types.
+
+The reference delegates tokenization/analysis to Solr/Lucene via its
+configsets; the chains we reproduce (``semantic_base_config.zip ->
+managed-schema.xml``):
+
+* ``text_general`` (index chain, :297-306): ``solr.StandardTokenizer``
+  (UAX#29 word breaks, maxTokenLength 255) -> stop filter over
+  ``stopwords.txt`` (EMPTY in the default config -> no-op) -> lowercase.
+* ``text_en`` (:344-364): standard tokenizer -> stop over
+  ``lang/stopwords_en.txt`` (35 words, ignoreCase) -> lowercase ->
+  englishPossessive -> keywordMarker (``protwords.txt``: dontstems,
+  zwhacky) -> porterStem.
+
+Query-time synonymGraph (:311) is intentionally NOT replicated — the
+shipped ``synonyms.txt`` is toy data; divergence documented in SURVEY §7.
+
+A third profile, ``simple``, is a lowercase non-alphanumeric split whose
+semantics are exactly expressible in ANSI SQL
+(``string_split_regex(lower(text), '[^a-z0-9]+')``); it exists so the
+driver's DuckDB oracle can verify the relational stages (tf/df/dl/BM25)
+value-for-value.
+
+All profiles are deterministic pure functions applied via Arrow-vectorized
+``pandas_udf`` — one Python call per record batch, no per-row round trips
+(BASELINE.json input_hint).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, List
+
+import pandas as pd
+
+from .porter import porter_stem
+
+# ---------------------------------------------------------------------------
+# Tokenizer: UAX#29 word-break approximation of Lucene StandardTokenizer.
+#
+# Word chars = \w (Unicode letters/digits/underscore; '_' is ExtendNumLet and
+# joins words per UAX#29). Medial joiners:
+#   . ' ’  (MidNumLet)  — join when alnum on both sides
+#   :            (MidLetter)  — joins letters only
+#   ,            (MidNum)     — joins digits only
+# Trailing/leading joiners never attach ("U.S.A." -> "U.S.A").
+# ---------------------------------------------------------------------------
+_TOKEN_RE = re.compile(
+    r"\w+(?:(?:['.’]|(?<=[^\W\d_]):(?=[^\W\d_])|(?<=\d),(?=\d))\w+)*",
+    re.UNICODE,
+)
+
+# Lucene StandardTokenizer default maxTokenLength: tokens longer than 255
+# chars are split at the 255 mark (scanner buffer behavior), not dropped.
+MAX_TOKEN_LENGTH = 255
+
+# lang/stopwords_en.txt from semantic_base_config.zip (35 entries, verbatim,
+# including the two test markers shipped with the config).
+ENGLISH_STOPWORDS = frozenset(
+    """stopworda stopwordb a an and are as at be but by for if in into is it
+    no not of on or such that the their then there these they this to was
+    will with""".split()
+)
+
+# protwords.txt from semantic_base_config.zip (keywordMarker protected set).
+PROTECTED_WORDS = frozenset({"dontstems", "zwhacky"})
+
+# stopwords.txt (text_general profile) is empty in the default config.
+GENERAL_STOPWORDS: frozenset = frozenset()
+
+
+def tokenize(text: str) -> List[str]:
+    """Lucene-StandardTokenizer-style tokens, original case preserved."""
+    if not text:
+        return []
+    out: List[str] = []
+    for m in _TOKEN_RE.finditer(text):
+        tok = m.group(0)
+        if len(tok) <= MAX_TOKEN_LENGTH:
+            out.append(tok)
+        else:
+            out.extend(
+                tok[i : i + MAX_TOKEN_LENGTH]
+                for i in range(0, len(tok), MAX_TOKEN_LENGTH)
+            )
+    return out
+
+
+def _strip_possessive(tok: str) -> str:
+    """Lucene EnglishPossessiveFilter: drop trailing 's / ’s."""
+    if len(tok) >= 2 and tok[-1] in "sS" and tok[-2] in "'’":
+        return tok[:-2]
+    return tok
+
+
+def analyze_text_general(text: str) -> List[str]:
+    """tokenize -> stop(empty set: no-op) -> lowercase."""
+    return [t.lower() for t in tokenize(text)]
+
+
+def analyze_text_en(text: str) -> List[str]:
+    """tokenize -> stop(en, ignoreCase) -> lowercase -> possessive ->
+    keywordMarker(protwords) -> porterStem."""
+    out: List[str] = []
+    for t in tokenize(text):
+        if t.lower() in ENGLISH_STOPWORDS:  # ignoreCase="true"
+            continue
+        t = _strip_possessive(t.lower())
+        if t in PROTECTED_WORDS:
+            out.append(t)
+        else:
+            out.append(porter_stem(t))
+    return out
+
+
+_SIMPLE_RE = re.compile(r"[^a-z0-9]+")
+
+
+def analyze_simple(text: str) -> List[str]:
+    """SQL-oracle profile: split lower(text) on [^a-z0-9]+, drop empties."""
+    if not text:
+        return []
+    return [t for t in _SIMPLE_RE.split(text.lower()) if t]
+
+
+PROFILES: dict[str, Callable[[str], List[str]]] = {
+    "text_general": analyze_text_general,
+    "text_en": analyze_text_en,
+    "simple": analyze_simple,
+}
+
+
+def analyze_series(texts: pd.Series, profile: str) -> pd.Series:
+    """Vectorized batch entry point used by the pandas_udf wrappers."""
+    fn = PROFILES[profile]
+    return texts.map(lambda t: fn(t) if t is not None else [])
+
+
+def make_analyze_udf(profile: str):
+    """Arrow-vectorized pandas_udf: string -> array<string>.
+
+    Created lazily so importing this module never requires a SparkSession
+    (the pure functions above also back the pytest oracle).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def analyze_udf(texts: pd.Series) -> pd.Series:
+        return analyze_series(texts, profile)
+
+    return analyze_udf

@@ -1,0 +1,165 @@
+"""Inverted-index build (SURVEY §3.1 "Our Spark equivalent").
+
+Replaces the reference's scan -> enrich -> publish -> Solr-add pipeline
+(``SolrSemanticIndexer.java:97-99,217-224`` page loop; destination Lucene
+index implied by ``SolrSemanticIndexer.java:103``) with declarative
+DataFrame stages Catalyst can optimize end-to-end:
+
+    input table
+      -> assign_doc_ids            (two-pass zip-with-index, docid.py)
+      -> analyze (Arrow pandas_udf, one batch per call)
+      -> explode tokens            (JVM-side posexplode)
+      -> tf  = groupBy(doc, term)  (partial+final hash agg, map-side combine)
+      -> df  = groupBy(term)       (exact docfreq — rank-identity needs exact)
+      -> doc_stats / index_meta    (N, avgdl from exact long sums)
+
+The "flat postings" table produced here — one row per (term, doc_id, tf,
+dl, dl_quant) — is the logical index; ``codec.py`` packs it into sorted
+delta+varint block postings for the scale path, and ``score.py`` runs BM25
+over either representation with identical results.
+
+dl is denormalized into the postings rows at build time (SURVEY §2.3 J4)
+so query-time scoring needs no doc_stats join. Both the exact dl and the
+Lucene-quantized dl (SmallFloat byte norm, similarity.py) are carried;
+quantized is what Solr's BM25 actually scores with.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..functions.analyzer import make_analyze_udf
+from ..functions.similarity import quantize_dl
+from .docid import assign_doc_ids
+
+
+def _quantize_dl_udf():
+    # created lazily: pandas_udf type parsing needs an active SparkSession
+    @pandas_udf("long")
+    def q(dl: pd.Series) -> pd.Series:
+        return pd.Series(quantize_dl(dl.to_numpy()))
+
+    return q
+
+
+@dataclass
+class InvertedIndex:
+    """Logical inverted index: a handle of DataFrames plus scalar stats."""
+
+    doc_stats: DataFrame       # doc_id, <key cols...>, dl, dl_quant
+    postings_flat: DataFrame   # term, doc_id, tf, dl, dl_quant
+    term_stats: DataFrame      # term, df, ttf
+    n_docs: int
+    sum_dl: int
+    profile: str
+    key_cols: Sequence[str] = field(default_factory=tuple)
+    postings_blocks: DataFrame | None = None   # codec.py output (scale path)
+
+    @property
+    def avgdl(self) -> float:
+        # Lucene: sumTotalTermFreq / docCount as double division of exact longs
+        return self.sum_dl / self.n_docs if self.n_docs else 0.0
+
+
+def build_index(
+    df: DataFrame,
+    text_col: str = "text",
+    key_cols: Sequence[str] = ("conv_id", "turn_idx"),
+    profile: str = "text_en",
+    doc_id_col: str | None = None,
+) -> InvertedIndex:
+    """Build the logical index. If ``doc_id_col`` is given it is used as the
+    (already dense/stable) document id; otherwise ids are assigned by global
+    ``(key_cols)`` rank via the two-pass zip-with-index."""
+    key_cols = list(key_cols)
+    analyze = make_analyze_udf(profile)
+    quant = _quantize_dl_udf()
+
+    if doc_id_col is None:
+        with_ids = assign_doc_ids(df, key_cols=key_cols)
+        id_col = "doc_id"
+    else:
+        with_ids = df
+        id_col = doc_id_col
+
+    analyzed = with_ids.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        *[F.col(c) for c in key_cols if c != id_col],
+        analyze(F.col(text_col)).alias("_toks"),
+    )
+
+    doc_stats = analyzed.select(
+        "doc_id",
+        *[c for c in key_cols if c != id_col],
+        F.size("_toks").cast("long").alias("dl"),
+    ).withColumn("dl_quant", quant(F.col("dl")))
+    doc_stats.persist()
+
+    tokens = analyzed.select(
+        "doc_id",
+        F.size("_toks").cast("long").alias("dl"),
+        F.explode("_toks").alias("term"),
+    )
+    # dl is functionally dependent on doc_id -> grouping by it is free and
+    # saves the doc_stats join (map-side combine still applies).
+    postings_flat = (
+        tokens.groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("dl_quant", quant(F.col("dl")))
+        .select("term", "doc_id", "tf", "dl", "dl_quant")
+    )
+    postings_flat.persist()
+
+    term_stats = postings_flat.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("ttf")
+    )
+
+    stats = doc_stats.agg(
+        F.count("*").alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("s")
+    ).first()
+
+    return InvertedIndex(
+        doc_stats=doc_stats,
+        postings_flat=postings_flat,
+        term_stats=term_stats,
+        n_docs=int(stats["n"]),
+        sum_dl=int(stats["s"]),
+        profile=profile,
+        key_cols=tuple(key_cols),
+    )
+
+
+def write_index(index: InvertedIndex, path: str) -> None:
+    """Persist the index tables as parquet dirs (Iceberg tables when a
+    catalog is configured — same writer API via ``writeTo``)."""
+    index.doc_stats.write.mode("overwrite").parquet(f"{path}/doc_stats")
+    index.postings_flat.write.mode("overwrite").parquet(f"{path}/postings_flat")
+    index.term_stats.write.mode("overwrite").parquet(f"{path}/term_stats")
+    meta = index.doc_stats.sparkSession.createDataFrame(
+        [
+            ("n_docs", str(index.n_docs)),
+            ("sum_dl", str(index.sum_dl)),
+            ("profile", index.profile),
+            ("key_cols", ",".join(index.key_cols)),
+        ],
+        "key string, value string",
+    )
+    meta.write.mode("overwrite").parquet(f"{path}/index_meta")
+
+
+def read_index(spark: SparkSession, path: str) -> InvertedIndex:
+    meta = {r["key"]: r["value"] for r in spark.read.parquet(f"{path}/index_meta").collect()}
+    return InvertedIndex(
+        doc_stats=spark.read.parquet(f"{path}/doc_stats"),
+        postings_flat=spark.read.parquet(f"{path}/postings_flat"),
+        term_stats=spark.read.parquet(f"{path}/term_stats"),
+        n_docs=int(meta["n_docs"]),
+        sum_dl=int(meta["sum_dl"]),
+        profile=meta["profile"],
+        key_cols=tuple(meta["key_cols"].split(",")) if meta["key_cols"] else (),
+    )

@@ -1,0 +1,181 @@
+"""BM25 top-k query execution (SURVEY §3.3 lifecycle).
+
+The reference delegates this entirely to Solr's ``/select`` handler
+(``semantic_base_config.zip -> solrconfig.xml:650-655`` rows=10,
+:667-670 df=_text_ OR semantics); we re-implement it Spark-first:
+
+* query analysis runs the SAME analyzer chain as indexing (driver-local,
+  pure function — no Spark job);
+* per-term idf from exact docfreq; duplicate query terms keep their
+  multiplicity (Lucene builds one SHOULD TermQuery per token, so a repeated
+  token contributes twice);
+* candidate fetch is a semi-join of the postings table against the tiny
+  query-term set — expressed as ``isin`` so Catalyst pushes the predicate
+  into the parquet/Iceberg scan (SURVEY §2.3 J2);
+* per-posting score is computed with built-in JVM expressions (whole-stage
+  codegen, no Python in the hot path);
+* per-doc summation folds a SORTED array of (term, partial) pairs so the
+  float accumulation order is fixed — scores are bit-identical across
+  parallelism levels (SURVEY §7.3 risk 7);
+* top-k = ``orderBy(score desc, doc_id asc).limit(k)`` which Spark plans as
+  ``TakeOrderedAndProject``: per-partition heap + driver k-way merge —
+  exactly the distributed top-k the reference gets from Lucene, with the
+  docID-asc tie-break mandated for rank identity.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.analyzer import PROFILES
+from ..functions.similarity import B_DEFAULT, K1_DEFAULT, idf
+from .build import InvertedIndex
+
+
+def analyze_query(query: str, profile: str) -> list[str]:
+    return PROFILES[profile](query)
+
+
+def bm25_topk(
+    index: InvertedIndex,
+    query: str,
+    k: int = 10,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    quantize: bool = True,
+    extra_filter=None,
+) -> DataFrame:
+    """Top-k (doc keys, score) for an OR-semantics BM25 query.
+
+    ``extra_filter``: optional Column predicate over doc_stats columns —
+    the reference's ``fq`` filter-query semantics
+    (``HttpSolrSelectClientImpl.java:113-115``), applied pre-scoring.
+    """
+    spark = index.postings_flat.sparkSession
+    terms = analyze_query(query, index.profile)
+    key_cols = [c for c in index.key_cols]
+    empty = spark.createDataFrame(
+        [],
+        index.doc_stats.select("doc_id", *[c for c in key_cols if c != "doc_id"])
+        .withColumn("score", F.lit(0.0))
+        .schema,
+    )
+    if not terms or index.n_docs == 0:
+        return empty
+
+    counts = Counter(terms)
+    dfs = {
+        r["term"]: r["df"]
+        for r in index.term_stats.filter(
+            F.col("term").isin(list(counts))
+        ).select("term", "df").collect()
+    }
+    weights = [
+        (t, float(mult) * idf(dfs[t], index.n_docs))
+        for t, mult in counts.items()
+        if t in dfs
+    ]
+    if not weights:
+        return empty
+
+    wdf = spark.createDataFrame(weights, "term string, w double")
+    dl_col = "dl_quant" if quantize else "dl"
+    avgdl = index.avgdl
+
+    cand = index.postings_flat.filter(F.col("term").isin([t for t, _ in weights]))
+    scored = cand.join(F.broadcast(wdf), "term").select(
+        "doc_id",
+        "term",
+        (
+            F.col("w")
+            * F.col("tf")
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col(dl_col) / F.lit(avgdl))
+            )
+        ).alias("s"),
+    )
+
+    # Deterministic per-doc sum: fold the term-sorted array of partials.
+    per_doc = scored.groupBy("doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "s"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["s"],
+        ).alias("score")
+    )
+
+    if extra_filter is not None:
+        allowed = index.doc_stats.filter(extra_filter).select("doc_id")
+        per_doc = per_doc.join(allowed, "doc_id", "left_semi")
+
+    top = per_doc.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+    lookup_cols = [c for c in key_cols if c != "doc_id"]
+    if lookup_cols:
+        out = F.broadcast(top).join(
+            index.doc_stats.select("doc_id", *lookup_cols), "doc_id"
+        ).select("doc_id", *lookup_cols, "score")
+        # re-assert ordering after the lookup join
+        return out.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return top.select("doc_id", "score")
+
+
+def bm25_conjunction_topk(
+    index: InvertedIndex,
+    query: str,
+    k: int = 10,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    quantize: bool = True,
+) -> DataFrame:
+    """AND semantics (SURVEY §2.7): docs matching ALL distinct query terms,
+    scored the same way — union of postings + HAVING count = n_terms."""
+    spark = index.postings_flat.sparkSession
+    terms = sorted(set(analyze_query(query, index.profile)))
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    dfs = {
+        r["term"]: r["df"]
+        for r in index.term_stats.filter(F.col("term").isin(terms))
+        .select("term", "df").collect()
+    }
+    if len(dfs) < len(terms):  # a term with df=0 -> conjunction is empty
+        return spark.createDataFrame([], "doc_id long, score double")
+    wdf = spark.createDataFrame(
+        [(t, idf(dfs[t], index.n_docs)) for t in terms], "term string, w double"
+    )
+    dl_col = "dl_quant" if quantize else "dl"
+    scored = (
+        index.postings_flat.filter(F.col("term").isin(terms))
+        .join(F.broadcast(wdf), "term")
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("w") * F.col("tf")
+                / (
+                    F.col("tf")
+                    + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col(dl_col) / F.lit(index.avgdl))
+                )
+            ).alias("s"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").alias("nt"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "s"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["s"],
+        ).alias("score"),
+    )
+    return (
+        per_doc.filter(F.col("nt") == len(terms))
+        .select("doc_id", "score")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

@@ -1,0 +1,63 @@
+"""SparkSession factory with the engine's recommended configuration."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "solr-sematic-importer-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master == "local[*]" and cpus:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    _ship_package(spark)
+    return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make the engine importable on executors regardless of launch cwd.
+
+    Equivalent to ``spark-submit --py-files engine.zip`` (the north-star
+    launch mode) for sessions created programmatically: zip this package
+    and ``addPyFile`` it so Python workers can unpickle the Arrow UDFs.
+    """
+    import shutil
+    import tempfile
+
+    import solr_sematic_importer_spark as pkg
+
+    pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+    stem = os.path.join(
+        tempfile.gettempdir(), f"solr_sematic_importer_spark-{pkg.__version__}"
+    )
+    if not os.path.exists(stem + ".zip"):
+        shutil.make_archive(
+            stem,
+            "zip",
+            root_dir=os.path.dirname(pkg_dir),
+            base_dir=os.path.basename(pkg_dir),
+        )
+    spark.sparkContext.addPyFile(stem + ".zip")

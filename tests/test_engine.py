@@ -1,0 +1,119 @@
+"""End-to-end engine tests: build -> query rank-identity vs the pure-Python
+oracle; per-turn text equality invariant; docID stability (SURVEY §5.2)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from solr_sematic_importer_spark.operators.build import build_index
+from solr_sematic_importer_spark.operators.docid import assign_doc_ids
+from solr_sematic_importer_spark.operators.score import bm25_conjunction_topk, bm25_topk
+from solr_sematic_importer_spark.sources.transcripts import (
+    generate_conversations_pdf,
+    synthetic_transcripts,
+)
+
+from .oracle import OracleIndex
+
+N_CONVS = 60
+
+QUERIES = [
+    "zeppelin",                      # rare term
+    "the",                           # hot term (empty stopword list keeps it)
+    "state of the art",              # multi-term OR with stopwords
+    "running indexes",               # stemming variants
+    "dontstems zwhacky",             # protected words
+    "user's agent",                  # possessive
+    "a an and",                      # stopword-only under text_en -> empty
+    "quartz obsidian flamingo",      # multiple rare terms, one doc
+    "the the the",                   # duplicate query terms (multiplicity)
+    "nonexistentterm42",             # zero-hit
+]
+
+
+@pytest.fixture(scope="module")
+def corpus_pdf():
+    return (
+        generate_conversations_pdf(list(range(N_CONVS)))
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+
+
+@pytest.fixture(scope="module", params=["text_en", "text_general"])
+def built(request, spark, corpus_pdf):
+    df = spark.createDataFrame(corpus_pdf)
+    idx = build_index(df, profile=request.param)
+    oracle = OracleIndex(
+        list(corpus_pdf[["conv_id", "turn_idx", "text"]].itertuples(index=False)),
+        text_idx=2,
+        profile=request.param,
+    )
+    return idx, oracle
+
+
+def test_per_turn_text_equality(spark, corpus_pdf):
+    """input_hint invariant: the table round-trips with text equality under
+    stable (conv_id, turn_idx) ordering."""
+    df = synthetic_transcripts(spark, N_CONVS, partitions=7)
+    got = df.orderBy("conv_id", "turn_idx").select("conv_id", "turn_idx", "text").toPandas()
+    assert list(got["text"]) == list(corpus_pdf["text"])
+    assert list(got["turn_idx"]) == list(corpus_pdf["turn_idx"])
+
+
+def test_doc_ids_dense_and_order_stable(spark, corpus_pdf):
+    df = spark.createDataFrame(corpus_pdf)
+    for nparts in (2, 5):
+        ids = (
+            assign_doc_ids(df.repartition(nparts), num_partitions=nparts)
+            .select("doc_id", "conv_id", "turn_idx")
+            .orderBy("doc_id")
+            .toPandas()
+        )
+        assert list(ids["doc_id"]) == list(range(len(corpus_pdf)))
+        # rank order == (conv_id, turn_idx) order
+        assert list(ids["conv_id"]) == list(corpus_pdf["conv_id"])
+        assert list(ids["turn_idx"]) == list(corpus_pdf["turn_idx"])
+
+
+def test_corpus_stats_match_oracle(built):
+    idx, oracle = built
+    assert idx.n_docs == oracle.n
+    assert idx.sum_dl == oracle.sum_dl
+    assert idx.avgdl == pytest.approx(oracle.avgdl, abs=0)
+
+
+@pytest.mark.parametrize("quantize", [True, False])
+def test_rank_identity_vs_oracle(built, quantize):
+    idx, oracle = built
+    for q in QUERIES:
+        got = [
+            (r["doc_id"], r["score"])
+            for r in bm25_topk(idx, q, k=10, quantize=quantize)
+            .select("doc_id", "score")
+            .collect()
+        ]
+        want = oracle.query(q, k=10, quantize=quantize)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, abs=1e-9), q
+
+
+def test_conjunction_subset_of_disjunction(built):
+    idx, oracle = built
+    got = bm25_conjunction_topk(idx, "the fast", k=50).collect()
+    # every conjunctive hit contains both terms
+    for r in got:
+        tfs = idx.postings_flat.filter(
+            (F.col("doc_id") == r["doc_id"]) & F.col("term").isin(["the", "fast"])
+        ).count()
+        assert tfs == 2
+        break  # one spot-check is enough; full check is O(k) spark jobs
+
+
+def test_fq_filter(built):
+    idx, oracle = built
+    # fq over doc metadata: restrict to conversation 0 (fixture conv)
+    got = bm25_topk(idx, "zeppelin", k=10, extra_filter=F.col("conv_id") == "conv_00000000")
+    for r in got.collect():
+        assert r["conv_id"] == "conv_00000000"
+    assert got.count() > 0

@@ -1,0 +1,47 @@
+"""SmallFloat norm-quantization + BM25 formula unit tests."""
+
+import math
+
+import numpy as np
+
+from solr_sematic_importer_spark.functions.similarity import (
+    LENGTH_TABLE,
+    byte4_to_int,
+    encode_norms,
+    idf,
+    int_to_byte4,
+    quantize_dl,
+)
+
+
+def test_length_table_strictly_increasing():
+    assert all(LENGTH_TABLE[i] < LENGTH_TABLE[i + 1] for i in range(255))
+    assert LENGTH_TABLE[0] == 0
+    assert list(LENGTH_TABLE[:24]) == list(range(24))  # NUM_FREE_VALUES = 24
+
+
+def test_byte4_truncates_to_largest_representable_leq():
+    for i in list(range(0, 2000)) + [2**16, 2**20, 2**31 - 1]:
+        d = byte4_to_int(int_to_byte4(i))
+        assert d <= i
+        # next representable value must exceed i
+        b = int_to_byte4(i)
+        if b < 255:
+            assert byte4_to_int(b + 1) > i
+
+
+def test_small_values_exact():
+    for i in range(24):
+        assert byte4_to_int(int_to_byte4(i)) == i
+
+
+def test_vectorized_encode_matches_scalar():
+    xs = np.array([0, 1, 23, 24, 25, 31, 32, 33, 100, 255, 256, 1000, 123456])
+    assert list(encode_norms(xs)) == [int_to_byte4(int(x)) for x in xs]
+    assert list(quantize_dl(xs)) == [byte4_to_int(int_to_byte4(int(x))) for x in xs]
+
+
+def test_idf_lucene_formula():
+    # Lucene 9 BM25: ln(1 + (N - df + 0.5)/(df + 0.5)), no (k1+1) numerator
+    assert math.isclose(idf(1, 100), math.log(1 + 99.5 / 1.5))
+    assert idf(100, 100) > 0  # never negative, even df == N
