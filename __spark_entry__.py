@@ -1,38 +1,522 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an implemented operator from SURVEY.md §2 (or a
+training-data-pipeline extension), run by the driver at sf=0.01 and compared
+against ``oracle_sql()`` in DuckDB (row-count + schema + order-insensitive
+value-hash). Column names/aliases match the oracle exactly; float outputs
+are rounded identically on both sides; top-k boundaries order by unrounded
+score with doc-id tie-breaks so the row SETS are deterministic.
+
+Engine queries use the ``simple`` analyzer profile (lowercase split on
+[^a-z0-9]+) and exact-dl BM25 — both exactly expressible in ANSI SQL — so
+the oracle verifies the distributed tf/df/dl/scoring machinery
+value-for-value. The Lucene-exact profiles (text_general/text_en,
+SmallFloat-quantized norms) are verified by tests/ against an independent
+pure-Python oracle and exposed here as rows-only entries.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+# fixed query strings (vocab of the documents table)
+Q_OR = "merge sort window"
+Q_RARE = "dup"
+Q_AND = "dup merge"
+
+
+def _prepare(spark: SparkSession) -> None:
+    from solr_sematic_importer_spark.session import _ship_package
+
+    try:
+        _ship_package(spark)
+    except Exception:
+        pass  # same file already registered on this context
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _doc_index(spark: SparkSession, sf_dir: str):
+    from solr_sematic_importer_spark.operators.build import build_index
+
+    _prepare(spark)
+    return build_index(
+        _docs(spark, sf_dir),
+        text_col="text",
+        key_cols=("doc_id",),
+        profile="simple",
+        doc_id_col="doc_id",
+    )
+
+
+# --------------------------------------------------------------------------
+# entry: flagship query (smoke check at sf0.001)
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Build the inverted index over sf0.001 documents and answer a BM25
+    top-10 disjunction — the engine's core path end-to-end."""
+    from solr_sematic_importer_spark.operators.score import bm25_topk
+
+    idx = _doc_index(spark, "/root/testdata/sf0.001")
+    top = bm25_topk(idx, Q_OR, k=10, quantize=False)
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def q_tf(spark, sf_dir):
+    idx = _doc_index(spark, sf_dir)
+    return idx.postings_flat.select("doc_id", "term", "tf")
+
+
+def q_docfreq(spark, sf_dir):
+    idx = _doc_index(spark, sf_dir)
+    return idx.term_stats.select("term", "df", "ttf")
+
+
+def q_doc_stats(spark, sf_dir):
+    idx = _doc_index(spark, sf_dir)
+    return idx.doc_stats.select("doc_id", "dl")
+
+
+def q_corpus_stats(spark, sf_dir):
+    idx = _doc_index(spark, sf_dir)
+    # rounding stays in Spark SQL (HALF_UP, matching DuckDB) — python
+    # round() is banker's rounding and can disagree at .xxxx5 boundaries
+    return idx.doc_stats.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        F.round(F.sum("dl") / F.count("*"), 4).alias("avgdl"),
+    )
+
+
+def q_bm25_or(spark, sf_dir):
+    from solr_sematic_importer_spark.operators.score import bm25_topk
+
+    idx = _doc_index(spark, sf_dir)
+    top = bm25_topk(idx, Q_OR, k=10, quantize=False)
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_bm25_rare(spark, sf_dir):
+    from solr_sematic_importer_spark.operators.score import bm25_topk
+
+    idx = _doc_index(spark, sf_dir)
+    top = bm25_topk(idx, Q_RARE, k=10, quantize=False)
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_bm25_and(spark, sf_dir):
+    from solr_sematic_importer_spark.operators.score import bm25_conjunction_topk
+
+    idx = _doc_index(spark, sf_dir)
+    top = bm25_conjunction_topk(idx, Q_AND, k=10, quantize=False)
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_facet_lang(spark, sf_dir):
+    # A2/Q5 facet count (reference: SolrAdminActions.java:252-265)
+    return _docs(spark, sf_dir).groupBy("lang").agg(F.count("*").alias("cnt"))
+
+
+def q_facet_source(spark, sf_dir):
+    return _docs(spark, sf_dir).groupBy("source").agg(F.count("*").alias("cnt"))
+
+
+def q_chunks(spark, sf_dir):
+    from solr_sematic_importer_spark.operators.chunking import char_chunks
+
+    return char_chunks(_docs(spark, sf_dir), size=120, overlap=20)
+
+
+def q_chunk_parent_join(spark, sf_dir):
+    from solr_sematic_importer_spark.operators.chunking import char_chunks, join_chunks_to_parents
+
+    docs = _docs(spark, sf_dir)
+    ch = char_chunks(docs, size=120, overlap=20)
+    joined = join_chunks_to_parents(
+        ch, docs.select("doc_id", "lang"), broadcast_parents=True
+    )
+    return joined.select("id", "parent_id", "chunk_number", "lang")
+
+
+def q_orphan_anti_join(spark, sf_dir):
+    # J3 orphan-delete anti-join shape (SolrAdminActions.java:268)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_window_first_event(spark, sf_dir):
+    # W2 row_number window shape over the events table
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+def q_top_terms(spark, sf_dir):
+    idx = _doc_index(spark, sf_dir)
+    return (
+        idx.term_stats.orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(15)
+        .select("term", "df")
+    )
+
+
+def q_content_hash_groups(spark, sf_dir):
+    from solr_sematic_importer_spark.operators.dedup import normalized_duplicates
+
+    d = normalized_duplicates(_docs(spark, sf_dir))
+    return d.select("text_hash", "dup_count", "keep_id")
+
+
+def q_fingerprint(spark, sf_dir):
+    from solr_sematic_importer_spark.operators.textstats import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def q_token_stats(spark, sf_dir):
+    from solr_sematic_importer_spark.operators.textstats import token_stats
+
+    return token_stats(_docs(spark, sf_dir))
+
+
+def q_stopword_ratio(spark, sf_dir):
+    from solr_sematic_importer_spark.operators.textstats import stopword_ratio
+
+    return stopword_ratio(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir):
+    from solr_sematic_importer_spark.operators.textstats import lang_id_heuristic
+
+    return lang_id_heuristic(_docs(spark, sf_dir))
+
+
+def q_quality(spark, sf_dir):
+    from solr_sematic_importer_spark.operators.textstats import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from solr_sematic_importer_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=3, threshold=0.05, id_filter=F.col("doc_id") < 40
+    )
+
+
+def q_ann_cosine(spark, sf_dir):
+    from solr_sematic_importer_spark.operators.similarity_search import brute_force_cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    top = brute_force_cosine_topk(emb, qv, k=10)
+    return top.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+# ---- rows-only entries (non-SQL-expressible: Lucene analyzer chain,
+# SmallFloat norms, LSH randomness) ----------------------------------------
+
+def q_bm25_lucene(spark, sf_dir):
+    """Full Lucene-semantics path: transcripts derivation -> text_en chain
+    (stop/possessive/keywordMarker/Porter) -> quantized-norm BM25 top-10.
+    Verified against the pure-Python oracle in tests/."""
+    from solr_sematic_importer_spark.operators.build import build_index
+    from solr_sematic_importer_spark.operators.score import bm25_topk
+    from solr_sematic_importer_spark.sources.transcripts import transcripts_from_documents
+
+    _prepare(spark)
+    t = transcripts_from_documents(spark, sf_dir)
+    idx = build_index(t, profile="text_en")
+    return bm25_topk(idx, "merging sorted windows", k=10)
+
+
+def q_minhash_lsh(spark, sf_dir):
+    from solr_sematic_importer_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    _prepare(spark)
+    sh = shingles(_docs(spark, sf_dir), n=3)
+    sig = minhash_signatures(sh, num_perm=64)
+    return lsh_candidate_pairs(sig, bands=16)
+
+
+def q_simhash(spark, sf_dir):
+    from solr_sematic_importer_spark.operators.dedup import simhash
+
+    idx = _doc_index(spark, sf_dir)
+    return simhash(idx.postings_flat.select("doc_id", "term", "tf"))
+
+
+def q_ann_lsh(spark, sf_dir):
+    from solr_sematic_importer_spark.operators.similarity_search import rp_lsh_cosine_topk
+
+    _prepare(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return rp_lsh_cosine_topk(emb, qv, dim=len(qv), k=10, bits=16, radius=4)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "tf_per_doc_term": q_tf,
+        "docfreq": q_docfreq,
+        "doc_stats_dl": q_doc_stats,
+        "corpus_stats": q_corpus_stats,
+        "bm25_topk_or": q_bm25_or,
+        "bm25_topk_rare": q_bm25_rare,
+        "bm25_conjunction": q_bm25_and,
+        "facet_lang": q_facet_lang,
+        "facet_source": q_facet_source,
+        "chunks_char": q_chunks,
+        "chunk_parent_join": q_chunk_parent_join,
+        "orphan_anti_join": q_orphan_anti_join,
+        "window_first_event": q_window_first_event,
+        "top_terms_by_df": q_top_terms,
+        "content_hash_groups": q_content_hash_groups,
+        "fingerprint": q_fingerprint,
+        "token_stats": q_token_stats,
+        "stopword_ratio": q_stopword_ratio,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_cosine_topk": q_ann_cosine,
+        # rows-only (no oracle entry):
+        "bm25_lucene_text_en": q_bm25_lucene,
+        "minhash_lsh_candidates": q_minhash_lsh,
+        "simhash_fingerprints": q_simhash,
+        "ann_lsh_topk": q_ann_lsh,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# oracle SQL (DuckDB; views pre-registered per parquet table)
+# --------------------------------------------------------------------------
+
+_TOKS = """
+toks AS (
+    SELECT doc_id, term FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+        FROM documents
+    ) WHERE term <> ''
+)"""
+
+_TF = _TOKS + """,
+tf AS (
+    SELECT doc_id, term, count(*)::BIGINT AS tf
+    FROM toks GROUP BY doc_id, term
+)"""
+
+_DL = """,
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*)::BIGINT AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl)"""
+
+
+def _bm25_oracle(terms: list[str], conjunction: bool = False) -> str:
+    terms_sql = ", ".join(f"'{t}'" for t in terms)
+    having = f"HAVING count(*) = {len(set(terms))}" if conjunction else ""
+    return f"""
+WITH {_TF}{_DL},
+qt AS (SELECT unnest([{terms_sql}]) AS term),
+dft AS (
+    SELECT term, count(*)::BIGINT AS df FROM tf
+    WHERE term IN (SELECT term FROM qt) GROUP BY term
+),
+scores AS (
+    SELECT tf.doc_id,
+           sum(ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+               * tf.tf / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl))
+              ) AS raw_score
+    FROM tf
+    JOIN dft USING (term)
+    JOIN dl USING (doc_id)
+    CROSS JOIN stats s
+    GROUP BY tf.doc_id
+    {having}
+)
+SELECT doc_id, round(raw_score, 4) AS score
+FROM scores ORDER BY raw_score DESC, doc_id ASC LIMIT 10
+"""
+
+
+_STOPWORDS_SQL = None
+
+
+def _stopword_list_sql() -> str:
+    from solr_sematic_importer_spark.operators.textstats import STOPWORD_LIST
+
+    return ", ".join(f"'{w}'" for w in STOPWORD_LIST)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sw = _stopword_list_sql()
+    return {
+        "tf_per_doc_term": f"WITH {_TF} SELECT doc_id, term, tf FROM tf",
+        "docfreq": f"""
+            WITH {_TF}
+            SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS ttf
+            FROM tf GROUP BY term""",
+        "doc_stats_dl": f"""
+            WITH {_TOKS}
+            SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id""",
+        "corpus_stats": f"""
+            WITH {_TOKS},
+            dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id)
+            SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl,
+                   round(sum(dl)::DOUBLE / count(*), 4) AS avgdl
+            FROM dl""",
+        "bm25_topk_or": _bm25_oracle(Q_OR.split()),
+        "bm25_topk_rare": _bm25_oracle(Q_RARE.split()),
+        "bm25_conjunction": _bm25_oracle(Q_AND.split(), conjunction=True),
+        "facet_lang": "SELECT lang, count(*)::BIGINT AS cnt FROM documents GROUP BY lang",
+        "facet_source": "SELECT source, count(*)::BIGINT AS cnt FROM documents GROUP BY source",
+        "chunks_char": """
+            WITH n AS (
+                SELECT doc_id, text,
+                       greatest(1, ceil((length(text) - 20) / 100.0))::INT AS n_chunks
+                FROM documents
+            ), c AS (
+                SELECT doc_id, text, unnest(generate_series(0, n_chunks - 1)) AS chunk_number
+                FROM n
+            )
+            SELECT doc_id::VARCHAR || '#' || lpad(chunk_number::VARCHAR, 7, '0') AS id,
+                   doc_id AS parent_id,
+                   substr(text, chunk_number * 100 + 1, 120) AS chunk,
+                   chunk_number::INT AS chunk_number
+            FROM c""",
+        "chunk_parent_join": """
+            WITH n AS (
+                SELECT doc_id, text,
+                       greatest(1, ceil((length(text) - 20) / 100.0))::INT AS n_chunks
+                FROM documents
+            ), c AS (
+                SELECT doc_id, unnest(generate_series(0, n_chunks - 1)) AS chunk_number
+                FROM n
+            )
+            SELECT c.doc_id::VARCHAR || '#' || lpad(c.chunk_number::VARCHAR, 7, '0') AS id,
+                   c.doc_id AS parent_id, c.chunk_number::INT AS chunk_number, d.lang
+            FROM c JOIN documents d ON c.doc_id = d.doc_id""",
+        "orphan_anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
+        "window_first_event": """
+            SELECT user_id, event_id, event_type FROM (
+                SELECT user_id, event_id, event_type,
+                       row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+                FROM events
+            ) WHERE rn = 1""",
+        "top_terms_by_df": f"""
+            WITH {_TF}
+            SELECT term, count(*)::BIGINT AS df FROM tf
+            GROUP BY term ORDER BY df DESC, term ASC LIMIT 15""",
+        "content_hash_groups": """
+            WITH h AS (
+                SELECT doc_id,
+                       md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS text_hash
+                FROM documents
+            )
+            SELECT text_hash, count(*)::BIGINT AS dup_count, min(doc_id) AS keep_id
+            FROM h GROUP BY text_hash HAVING count(*) > 1""",
+        "fingerprint": f"""
+            WITH {_TOKS}
+            SELECT doc_id,
+                   md5(array_to_string(list_sort(list(DISTINCT term)), ' ')) AS fingerprint
+            FROM toks GROUP BY doc_id""",
+        "token_stats": f"""
+            WITH {_TOKS}
+            SELECT doc_id,
+                   count(*)::INT AS n_tokens,
+                   count(DISTINCT term)::INT AS n_distinct_tokens,
+                   round(sum(length(term))::DOUBLE / count(*), 4) AS avg_token_len
+            FROM toks GROUP BY doc_id""",
+        "stopword_ratio": f"""
+            WITH {_TOKS}
+            SELECT doc_id,
+                   round(sum(CASE WHEN term IN ({sw}) THEN 1 ELSE 0 END)::DOUBLE
+                         / count(*), 4) AS stopword_ratio
+            FROM toks GROUP BY doc_id""",
+        "lang_id": f"""
+            WITH {_TOKS}
+            SELECT doc_id,
+                   CASE WHEN sum(CASE WHEN term IN ({sw}) THEN 1 ELSE 0 END)::DOUBLE
+                             / count(*) >= 0.08
+                        THEN 'en' ELSE 'other' END AS pred_lang
+            FROM toks GROUP BY doc_id""",
+        "quality_score": f"""
+            WITH {_TOKS},
+            t AS (
+                SELECT doc_id, count(*)::BIGINT AS n, count(DISTINCT term)::BIGINT AS nd
+                FROM toks GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   round(((CASE WHEN t.n BETWEEN 5 AND 500 THEN 1.0 ELSE 0.0 END)
+                          + length(regexp_replace(d.text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE
+                            / greatest(length(d.text), 1)
+                          + t.nd::DOUBLE / greatest(t.n, 1)) / 3.0, 4) AS quality
+            FROM documents d JOIN t ON d.doc_id = t.doc_id""",
+        "ngram_jaccard": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS ts
+                FROM documents WHERE doc_id < 40
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(ts[i : i + 2], ' ') AS shingle
+                FROM toks,
+                     unnest(generate_series(1, greatest(len(ts) - 2, 1))) AS g(i)
+            ),
+            sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS i
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   round(i::DOUBLE / (sa.sz + sb.sz - i), 6) AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.doc_id = doc_a
+            JOIN sz sb ON sb.doc_id = doc_b
+            WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.05""",
+        "ann_cosine_topk": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            s AS (
+                SELECT e.vec_id,
+                       list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS c
+                FROM embeddings e CROSS JOIN q
+            )
+            SELECT vec_id, round(c, 4) AS cosine
+            FROM s ORDER BY c DESC, vec_id ASC LIMIT 10""",
+    }

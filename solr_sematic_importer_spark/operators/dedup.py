@@ -1,0 +1,203 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+The reference's only dedup-shaped op is the orphan delete anti-join
+(``SolrAdminActions.java:268``); a 100 TB corpus pipeline needs real
+near-dup machinery. All operators below are DataFrame-first:
+
+* exact_duplicates        — hash-groupBy on raw text (one shuffle)
+* normalized_duplicates   — same, on analyzer-normalized text
+* minhash_signatures      — k permutations of murmur3 shingle hashes,
+                            all JVM-side expressions (no Python)
+* lsh_candidate_pairs     — band/bucket self-join producing candidate
+                            near-dup pairs (the scale path: no O(n^2))
+* ngram_jaccard_pairs     — exact Jaccard over token shingle sets via a
+                            shingle equi-join (for verification / small n)
+* simhash                 — 64-bit simhash from the tf table (Arrow UDF,
+                            numpy bit ops; hamming-band grouping)
+
+Scale notes: every op shuffles on a content-derived key (hash, shingle,
+band bucket), so skew comes only from pathological repeated content —
+exactly what dedup is meant to find; bucket-size caps guard the joins.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+# deterministic 32-bit affine permutation constants (seeded)
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_constants(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    # a,b < 2^29 and h masked to 31 bits keeps a*h+b < 2^61 — no long
+    # overflow under Spark's ANSI arithmetic
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 1 << 29, size=k, dtype=np.int64)
+    b = rng.integers(0, 1 << 29, size=k, dtype=np.int64)
+    return list(zip(a.tolist(), b.tolist()))
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical texts: (text_hash, dup_count, min_doc_id)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("dup_count"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def normalized_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Dup groups after lowercase + non-alnum collapse (simple profile
+    normalization, SQL-expressible for the oracle)."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")
+    return (
+        df.select(F.md5(F.trim(norm)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("dup_count"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, shingle) rows: n-token shingles of the simple-profile tokens —
+    built-in expressions only (split/sequence/transform/explode)."""
+    toks = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(sh)).alias("shingle"),
+    ).filter(F.length("shingle") > 0)
+
+
+def minhash_signatures(
+    sh: DataFrame, num_perm: int = 64, seed: int = 42
+) -> DataFrame:
+    """doc_id -> array<long> of num_perm minhash values. One hash agg; all
+    expressions JVM-side (xxhash64 + affine permutation mod Mersenne)."""
+    h = F.xxhash64("shingle").bitwiseAND(F.lit((1 << 31) - 1))
+    aggs = []
+    for i, (a, b) in enumerate(_perm_constants(num_perm, seed)):
+        aggs.append(F.min((h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"mh{i}"))
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id", F.array(*[f"mh{i}" for i in range(num_perm)]).alias("signature")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 16,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Banded LSH: equal band-slices -> same bucket -> candidate pair.
+
+    Self-equi-join on (band, bucket_hash); buckets larger than
+    ``max_bucket`` are dropped (and should be logged) — a mega-bucket is
+    degenerate content and would quadratically blow up the join at scale.
+    Returns distinct (doc_a, doc_b) with doc_a < doc_b.
+    """
+    sig = signatures
+    rows_per_band = F.floor(F.size("signature") / bands).cast("int")
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bnd: F.xxhash64(
+                    bnd, F.slice("signature", bnd * rows_per_band + 1, rows_per_band)
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    # prune degenerate buckets before the self-join
+    sizes = banded.groupBy("band", "bucket").count()
+    ok = sizes.filter((F.col("count") > 1) & (F.col("count") <= max_bucket)).select("band", "bucket")
+    pruned = banded.join(ok, ["band", "bucket"], "left_semi")
+    a = pruned.alias("a")
+    b = pruned.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.2,
+    id_filter=None,
+) -> DataFrame:
+    """Exact shingle-set Jaccard via equi-join on shingles (distinct
+    shingles -> pair intersection counts -> |A|+|B|-inter). SQL-parity
+    shape used by the DuckDB oracle; restrict with ``id_filter`` at scale."""
+    base = df if id_filter is None else df.filter(id_filter)
+    sh = shingles(base, text_col, id_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+def simhash(tf_df: DataFrame, bits: int = 64) -> DataFrame:
+    """64-bit SimHash per doc from the (doc_id, term, tf) table.
+
+    Arrow-vectorized: per partition, numpy unpacks term-hash bits and
+    accumulates +/- tf weights per bit; partials are then summed per doc
+    (handles docs spanning Arrow batches) and signed into the fingerprint.
+    """
+    spark = tf_df.sparkSession
+    with_h = tf_df.select("doc_id", F.xxhash64("term").alias("h"), "tf")
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            h = pdf["h"].to_numpy().astype(np.uint64)
+            w = pdf["tf"].to_numpy().astype(np.int64)
+            bitmat = ((h[:, None] >> np.arange(bits, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
+            contrib = (2 * bitmat - 1) * w[:, None]
+            out = pd.DataFrame(contrib, columns=[f"b{i}" for i in range(bits)])
+            out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+            yield out.groupby("doc_id", as_index=False).sum()
+
+    schema = "doc_id long, " + ", ".join(f"b{i} long" for i in range(bits))
+    partials = with_h.mapInPandas(partial, schema=schema)
+    summed = partials.groupBy("doc_id").agg(
+        *[F.sum(f"b{i}").alias(f"b{i}") for i in range(bits)]
+    )
+    fp = F.aggregate(
+        F.array(*[F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0)) for i in range(bits)]),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc * 2 + x,
+    )
+    return summed.select("doc_id", fp.alias("simhash"))

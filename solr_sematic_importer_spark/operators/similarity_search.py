@@ -1,0 +1,114 @@
+"""Similarity search over embedding columns (SURVEY §2.10 Q7 analog).
+
+The reference stores 384-dim cosine dense vectors in Solr
+(``default-chunk-config.zip -> managed-schema.xml:13``; field validation
+``solr/client/VectorFieldValidator.java:38-82``) and delegates KNN to
+Lucene HNSW. Spark-first equivalents:
+
+* brute_force_cosine_topk — exact baseline: JVM-side zip_with/aggregate
+  dot products, TakeOrderedAndProject top-k. O(n) per query but fully
+  distributed and shuffle-free (scan + local heap + driver merge of k).
+* rp_lsh_buckets / rp_lsh_cosine_topk — random-hyperplane LSH: sign-bit
+  sketch per vector (deterministic seeded planes, Arrow UDF), candidates =
+  vectors whose sketch hamming-matches the query within a probe radius;
+  exact cosine re-rank of the candidates only. The scale path: the bucket
+  table is partitioned by sketch prefix, so a query touches a bounded
+  slice of the corpus.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+
+def _cosine_expr(vec_col: str, q: Sequence[float]):
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), qlit, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.transform(F.col(vec_col), lambda a: a.cast("double") * a.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    nq = float(np.sqrt(np.sum(np.asarray(q, dtype=np.float64) ** 2)))
+    return dot / (na * F.lit(nq))
+
+
+def brute_force_cosine_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Exact cosine top-k: whole-stage-codegen score + TakeOrderedAndProject."""
+    score = _cosine_expr(vec_col, query_vec)
+    if round_to is not None:
+        score = F.round(score, round_to)
+    return (
+        df.select(F.col(id_col), score.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def _planes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((dim, bits))
+
+
+def rp_lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    bits: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, sketch): sign-bit random-projection sketch, Arrow-vectorized."""
+    planes = _planes(dim, bits, seed)
+
+    def sketch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bitsmat = (mat @ planes) > 0
+            vals = bitsmat @ (1 << np.arange(bits, dtype=np.int64))
+            yield pd.DataFrame({"vec_id": pdf[id_col].to_numpy(), "sketch": vals})
+
+    return df.select(id_col, vec_col).mapInPandas(sketch, schema="vec_id long, sketch long")
+
+
+def rp_lsh_cosine_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    dim: int,
+    k: int = 10,
+    bits: int = 16,
+    radius: int = 3,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN: candidates whose sketch is within ``radius`` hamming bits of the
+    query sketch, re-ranked by exact cosine. Returns (id, cosine)."""
+    planes = _planes(dim, bits, seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qsketch = int(((q @ planes) > 0) @ (1 << np.arange(bits, dtype=np.int64)))
+    sk = rp_lsh_buckets(df, dim, bits, seed, vec_col, id_col)
+    cand_ids = sk.filter(
+        F.bit_count(F.col("sketch").bitwiseXOR(F.lit(qsketch))) <= radius
+    ).select("vec_id")
+    cand = df.join(cand_ids.withColumnRenamed("vec_id", id_col), id_col, "left_semi")
+    return brute_force_cosine_topk(cand, query_vec, k, vec_col, id_col)

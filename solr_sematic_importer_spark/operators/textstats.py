@@ -1,0 +1,94 @@
+"""Text analysis operators for training-data pipelines.
+
+All built from JVM-side expressions (whole-stage codegen; SQL-expressible
+for the DuckDB oracle): language-ID heuristic, quality scoring, token
+counting, document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.analyzer import ENGLISH_STOPWORDS
+
+# stable, sorted subset used by the lang-id / quality heuristics so the
+# oracle SQL can embed the identical list
+STOPWORD_LIST = sorted(ENGLISH_STOPWORDS - {"stopworda", "stopwordb"})
+
+
+def _tokens(text_col: str):
+    return F.filter(
+        F.split(
+            F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")), " "
+        ),
+        lambda t: F.length(t) > 0,
+    )
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, n_tokens, n_distinct_tokens, avg_token_len)."""
+    toks = _tokens(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(
+            F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+            / F.size(toks),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+def stopword_ratio(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    toks = _tokens(text_col)
+    sw = F.array(*[F.lit(w) for w in STOPWORD_LIST])
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return df.select(
+        F.col(id_col),
+        F.round(n_sw / F.greatest(F.size(toks), F.lit(1)), 4).alias("stopword_ratio"),
+    )
+
+
+def lang_id_heuristic(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", threshold: float = 0.08
+) -> DataFrame:
+    """Tiny lang-ID: English-stopword density above threshold -> 'en'.
+
+    (A real pipeline would swap in an n-gram model UDF; the operator shape
+    — per-doc scalar from token stats — is what matters at scale.)
+    """
+    r = stopword_ratio(df, text_col, id_col)
+    return r.select(
+        id_col,
+        F.when(F.col("stopword_ratio") >= threshold, F.lit("en"))
+        .otherwise(F.lit("other"))
+        .alias("pred_lang"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Composite doc-quality score in [0,1]: length band + alnum ratio +
+    distinct-token ratio. Deterministic closed form, SQL-parity."""
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    alnum = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z0-9]", ""))
+    total = F.greatest(F.length(F.col(text_col)), F.lit(1))
+    len_band = F.when((n >= 5) & (n <= 500), 1.0).otherwise(0.0)
+    return df.select(
+        F.col(id_col),
+        F.round(
+            (len_band + alnum / total + n_distinct / F.greatest(n, F.lit(1))) / 3.0, 4
+        ).alias("quality"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Canonical content fingerprint: md5 over the sorted distinct token
+    set — invariant to token order/duplication (near-dup blocking key)."""
+    toks = _tokens(text_col)
+    return df.select(
+        F.col(id_col),
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))).alias("fingerprint"),
+    )
