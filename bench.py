@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""Benchmark harness (SURVEY §7.1 step 10).
+
+Runs the engine's headline operations at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline ops map to the north rule (BASELINE.json): inverted-index build
+throughput (turns indexed/sec) and BM25 top-10 query latency, plus the
+training-pipeline extensions (dedup, ANN).
+
+The index-build workload is the deterministic synthetic transcript corpus
+(sources/transcripts.py) scaled by sf — generated distributed, identical
+bytes at every parallelism level — so the same script doubles as the
+two-cluster-size scaling probe: run with SPARK_GRAFT_CPUS=8 and =32 and
+compare `turns_per_sec` (see bench_scaling.py which automates it).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from solr_sematic_importer_spark.session import get_spark  # noqa: E402
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_from_dir(sf_dir)
+    # transcript corpus scaled by sf: sf0.1 -> 20k conversations (~340k turns)
+    n_convs = max(1000, int(200_000 * sf))
+
+    spark = get_spark(app_name=f"bench-sf{sf}", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from solr_sematic_importer_spark.operators.build import build_index
+    from solr_sematic_importer_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+    from solr_sematic_importer_spark.operators.score import (
+        bm25_conjunction_topk,
+        bm25_topk,
+    )
+    from solr_sematic_importer_spark.operators.similarity_search import (
+        brute_force_cosine_topk,
+    )
+    from solr_sematic_importer_spark.sources.transcripts import synthetic_transcripts
+
+    times: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        times[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # --- headline: inverted-index build over the transcript corpus ---------
+    tdf = synthetic_transcripts(spark, n_convs)
+    tdf = tdf.persist()
+    n_turns = timed("transcripts_materialize", lambda: tdf.count())
+
+    def _build():
+        idx = build_index(tdf, profile="text_en")
+        # force full materialization of every index table
+        idx.postings_flat.count()
+        idx.term_stats.count()
+        return idx
+
+    idx = timed("index_build_transcripts", _build)
+    extra["n_turns"] = n_turns
+    extra["turns_per_sec"] = round(n_turns / times["index_build_transcripts"], 1)
+
+    # --- headline: BM25 top-10 latency (warm index; p50/p95 over repeats) --
+    queries = [
+        "the user said one thing",
+        "zeppelin quartz",
+        "running indexes over words",
+        "tok100 tok2000 tok30",
+        "state of the art output",
+    ]
+    lat = []
+    for q in queries:
+        t0 = time.perf_counter()
+        bm25_topk(idx, q, k=10).collect()
+        lat.append(time.perf_counter() - t0)
+    lat.sort()
+    times["bm25_top10_first"] = round(lat[0], 3)
+    extra["bm25_p50_sec"] = round(lat[len(lat) // 2], 3)
+    extra["bm25_p95_sec"] = round(lat[int(len(lat) * 0.95) - 1 if len(lat) > 1 else 0], 3)
+    times["bm25_top10_avg"] = round(sum(lat) / len(lat), 3)
+
+    timed(
+        "bm25_conjunction",
+        lambda: bm25_conjunction_topk(idx, "the and one", k=10).collect(),
+    )
+
+    # --- documents-table path (driver sf tables) ----------------------------
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
+    docs.count()
+
+    def _build_docs():
+        di = build_index(docs, text_col="text", key_cols=("doc_id",),
+                         profile="simple", doc_id_col="doc_id")
+        di.postings_flat.count()
+        return di
+
+    didx = timed("index_build_documents", _build_docs)
+    timed("bm25_documents", lambda: bm25_topk(didx, "merge sort window", k=10,
+                                              quantize=False).collect())
+
+    # --- dedup: minhash + LSH over documents -------------------------------
+    def _dedup():
+        sh = shingles(docs, n=3)
+        sig = minhash_signatures(sh, num_perm=64)
+        return lsh_candidate_pairs(sig, bands=16).count()
+
+    timed("dedup_minhash_lsh", _dedup)
+
+    # --- ANN: brute-force cosine top-10 over embeddings ---------------------
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    timed("ann_cosine_topk", lambda: brute_force_cosine_topk(emb, qv, k=10).collect())
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "cpus": cpus,
+                "extra": extra,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

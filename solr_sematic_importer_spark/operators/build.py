@@ -29,22 +29,21 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Sequence
 
-import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.functions import pandas_udf
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from ..functions.analyzer import make_analyze_udf
-from ..functions.similarity import quantize_dl
+from ..functions.similarity import LENGTH_TABLE
 from .docid import assign_doc_ids
 
 
-def _quantize_dl_udf():
-    # created lazily: pandas_udf type parsing needs an active SparkSession
-    @pandas_udf("long")
-    def q(dl: pd.Series) -> pd.Series:
-        return pd.Series(quantize_dl(dl.to_numpy()))
-
-    return q
+def quantize_dl_col(dl: Column) -> Column:
+    """Lucene SmallFloat norm quantization dl -> decode(encode(dl)) as a pure
+    JVM expression: the largest LENGTH_TABLE entry <= dl, found by scanning
+    the 256-entry literal table inside whole-stage codegen. Keeps the build's
+    hot path free of a second Python round-trip (the analyzer UDF is the only
+    Python stage)."""
+    table = F.lit([int(v) for v in LENGTH_TABLE])
+    return F.array_max(F.filter(table, lambda x: x <= dl)).cast("long")
 
 
 @dataclass
@@ -78,7 +77,6 @@ def build_index(
     ``(key_cols)`` rank via the two-pass zip-with-index."""
     key_cols = list(key_cols)
     analyze = make_analyze_udf(profile)
-    quant = _quantize_dl_udf()
 
     if doc_id_col is None:
         with_ids = assign_doc_ids(df, key_cols=key_cols)
@@ -87,39 +85,39 @@ def build_index(
         with_ids = df
         id_col = doc_id_col
 
+    # The analyzer UDF is the expensive Python stage: run it exactly ONCE,
+    # persist its output, and derive doc_stats / postings / corpus stats from
+    # the cache (previously doc_stats and postings each re-ran the UDF).
     analyzed = with_ids.select(
         F.col(id_col).cast("long").alias("doc_id"),
         *[F.col(c) for c in key_cols if c != id_col],
         analyze(F.col(text_col)).alias("_toks"),
-    )
+    ).withColumn("dl", F.size("_toks").cast("long"))
+    analyzed = analyzed.withColumn("dl_quant", quantize_dl_col(F.col("dl")))
+    analyzed.persist()
 
-    doc_stats = analyzed.select(
-        "doc_id",
-        *[c for c in key_cols if c != id_col],
-        F.size("_toks").cast("long").alias("dl"),
-    ).withColumn("dl_quant", quant(F.col("dl")))
-    doc_stats.persist()
+    doc_stats = analyzed.drop("_toks")
 
-    tokens = analyzed.select(
-        "doc_id",
-        F.size("_toks").cast("long").alias("dl"),
-        F.explode("_toks").alias("term"),
-    )
-    # dl is functionally dependent on doc_id -> grouping by it is free and
-    # saves the doc_stats join (map-side combine still applies).
+    # dl/dl_quant are functionally dependent on doc_id -> grouping by them is
+    # free and saves the doc_stats join at scoring time (SURVEY §2.3 J4).
+    # Map-side partial agg means the shuffle carries only DISTINCT
+    # (doc, term) pairs, not every token occurrence.
     postings_flat = (
-        tokens.groupBy("doc_id", "dl", "term")
+        analyzed.select("doc_id", "dl", "dl_quant", F.explode("_toks").alias("term"))
+        .groupBy("doc_id", "dl", "dl_quant", "term")
         .agg(F.count("*").alias("tf"))
-        .withColumn("dl_quant", quant(F.col("dl")))
         .select("term", "doc_id", "tf", "dl", "dl_quant")
     )
     postings_flat.persist()
 
+    # term_stats is the query-time idf dictionary: vocab-sized (small), hit
+    # by every query — keep it hot so a query never re-aggregates postings.
     term_stats = postings_flat.groupBy("term").agg(
         F.count("*").alias("df"), F.sum("tf").alias("ttf")
     )
+    term_stats.persist()
 
-    stats = doc_stats.agg(
+    stats = analyzed.agg(
         F.count("*").alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("s")
     ).first()
 
