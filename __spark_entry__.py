@@ -258,6 +258,25 @@ def q_bm25_lucene(spark, sf_dir):
     return bm25_topk(idx, "merging sorted windows", k=10)
 
 
+def q_bm25_wand(spark, sf_dir):
+    """Compressed block postings (delta+varint, 128-blocks, SmallFloat
+    norms) + bucket-granular block-max WAND pruning. Scores are
+    bit-identical to the exhaustive quantized scorer (tests assert it);
+    rows-only here because SmallFloat quantization is not SQL-expressible."""
+    from solr_sematic_importer_spark.operators.block_postings import (
+        bm25_topk_wand,
+        build_block_postings,
+    )
+    from solr_sematic_importer_spark.operators.build import build_index
+    from solr_sematic_importer_spark.sources.transcripts import transcripts_from_documents
+
+    _prepare(spark)
+    t = transcripts_from_documents(spark, sf_dir)
+    idx = build_index(t, profile="text_en")
+    build_block_postings(idx, bucket_bits=10)
+    return bm25_topk_wand(idx, "merging sorted windows", k=10)
+
+
 def q_minhash_lsh(spark, sf_dir):
     from solr_sematic_importer_spark.operators.dedup import (
         lsh_candidate_pairs,
@@ -313,6 +332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine,
         # rows-only (no oracle entry):
         "bm25_lucene_text_en": q_bm25_lucene,
+        "bm25_wand_blocks": q_bm25_wand,
         "minhash_lsh_candidates": q_minhash_lsh,
         "simhash_fingerprints": q_simhash,
         "ann_lsh_topk": q_ann_lsh,

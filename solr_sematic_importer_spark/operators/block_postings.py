@@ -1,0 +1,242 @@
+"""Compressed block postings + block-max WAND top-k (the scale path).
+
+The reference gets posting storage and WAND pruning for free from Lucene
+(delegated; ``semantic_base_config.zip -> solrconfig.xml:650-655`` serves
+BM25 top-k). We re-build both Spark-first:
+
+Construction — "salting by doc bucket" (SURVEY §4.1 skew handling):
+    The doc-id space is cut into aligned buckets of ``2**bucket_bits`` docs
+    and the encode group key is ``(term, bucket_id)``. This makes the
+    bucket the salt: a hot term ("the" with billions of postings — the
+    default stopword file is EMPTY) is spread over #buckets independent
+    groups, each bounded by the bucket width, so no applyInPandas group can
+    exceed ``2**bucket_bits`` rows no matter how skewed the term
+    distribution is. Because buckets are disjoint, contiguous doc ranges,
+    the two-phase merge is pure concatenation: the global posting list of a
+    term is its bucket rows ordered by ``(bucket_id, block_id)`` — no
+    stage-2 re-sort or re-encode (partials are already-sorted runs).
+
+Query — block-max WAND at bucket granularity:
+    Every block row carries ``max_impact`` (idf-independent BM25 bound).
+    A bucket's score upper bound is ``sum_t idf_t * max_t(block
+    max_impact)`` — computed entirely JVM-side from block metadata, no
+    decode. Buckets are scored exactly (NumPy dense accumulation over
+    decoded blocks) in descending upper-bound order, and the driver stops
+    as soon as the next bucket's bound is below the current top-k
+    threshold — the WAND skip, applied at the shuffle-friendly
+    granularity. Scores accumulate per term in sorted-term order, the same
+    float order as the exhaustive scorer, so results are bit-identical
+    across parallelism levels AND across the two execution paths.
+"""
+
+from __future__ import annotations
+
+import heapq
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.codec import decode_block, encode_blocks
+from ..functions.similarity import (
+    B_DEFAULT,
+    K1_DEFAULT,
+    LENGTH_TABLE,
+    encode_norms,
+    idf,
+)
+from .build import InvertedIndex
+from .score import analyze_query
+
+DEFAULT_BUCKET_BITS = 14  # 16384-doc buckets: skew bound + pruning unit
+
+BLOCKS_SCHEMA = (
+    "term string, bucket_id long, block_id int, first_doc long, last_doc long, "
+    "cnt int, max_tf int, max_impact double, "
+    "doc_bytes binary, tf_bytes binary, norm_bytes binary"
+)
+
+
+def build_block_postings(
+    index: InvertedIndex,
+    bucket_bits: int = DEFAULT_BUCKET_BITS,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+) -> DataFrame:
+    """postings_flat -> compressed block rows, grouped by (term, bucket).
+
+    Always Lucene-quantized: the per-posting norm byte is the SmallFloat
+    code; impacts (and therefore WAND bounds) use the decoded quantized dl,
+    matching what Solr's BM25 actually scores with.
+    """
+    avgdl = index.avgdl
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        term = pdf["term"].iloc[0]
+        bucket = int(pdf["bucket_id"].iloc[0])
+        docs = pdf["doc_id"].to_numpy(dtype=np.int64)
+        tfs = pdf["tf"].to_numpy(dtype=np.int64)
+        norms = encode_norms(pdf["dl"].to_numpy(dtype=np.int64))
+        dlq = LENGTH_TABLE[norms].astype(np.float64)
+        impacts = tfs / (tfs + k1 * (1.0 - b + b * dlq / avgdl))
+        rows = [
+            (term, bucket, *blk)
+            for blk in encode_blocks(docs, tfs, norms, impacts)
+        ]
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "term", "bucket_id", "block_id", "first_doc", "last_doc",
+                "cnt", "max_tf", "max_impact",
+                "doc_bytes", "tf_bytes", "norm_bytes",
+            ],
+        )
+
+    flat = index.postings_flat.withColumn(
+        "bucket_id", F.shiftright(F.col("doc_id"), bucket_bits)
+    )
+    blocks = flat.groupBy("term", "bucket_id").applyInPandas(encode, BLOCKS_SCHEMA)
+    index.postings_blocks = blocks
+    return blocks
+
+
+def write_blocks(blocks: DataFrame, path: str) -> None:
+    """Persist block postings partitioned for query-side pruning: sorted by
+    (term, bucket_id) inside files so parquet min/max stats prune term
+    lookups without reading pages."""
+    (
+        blocks.repartition("term")
+        .sortWithinPartitions("term", "bucket_id", "block_id")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Query: block-max WAND
+# ---------------------------------------------------------------------------
+
+
+def bm25_topk_wand(
+    index: InvertedIndex,
+    query: str,
+    k: int = 10,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    bucket_batch: int = 64,
+) -> DataFrame:
+    """Exact BM25 top-k over the compressed block index with bucket-level
+    block-max pruning. Returns (doc_id, score) like ``bm25_topk``
+    (quantized mode) — bit-identical scores, same tie-break."""
+    spark = index.postings_flat.sparkSession
+    blocks = index.postings_blocks
+    if blocks is None:
+        raise ValueError("call build_block_postings(index) first")
+    out_schema = "doc_id long, score double"
+    terms = analyze_query(query, index.profile)
+    if not terms or index.n_docs == 0:
+        return spark.createDataFrame([], out_schema)
+
+    counts = Counter(terms)
+    dfs = {
+        r["term"]: r["df"]
+        for r in index.term_stats.filter(F.col("term").isin(list(counts)))
+        .select("term", "df")
+        .collect()
+    }
+    weights = {
+        t: float(mult) * idf(dfs[t], index.n_docs)
+        for t, mult in counts.items()
+        if t in dfs
+    }
+    if not weights:
+        return spark.createDataFrame([], out_schema)
+    avgdl = index.avgdl
+
+    cand = blocks.filter(F.col("term").isin(list(weights))).persist()
+    wdf = spark.createDataFrame(list(weights.items()), "term string, w double")
+
+    # JVM-side bucket upper bounds from block metadata only (no decode).
+    ubs = (
+        cand.join(F.broadcast(wdf), "term")
+        .groupBy("bucket_id", "term")
+        .agg(F.max(F.col("w") * F.col("max_impact")).alias("tub"))
+        .groupBy("bucket_id")
+        .agg(F.sum("tub").alias("ub"))
+        .orderBy(F.col("ub").desc())
+        .collect()
+    )
+    order = [(int(r["bucket_id"]), float(r["ub"])) for r in ubs]
+
+    sorted_terms = sorted(weights)
+    w_arr = np.array([weights[t] for t in sorted_terms])
+
+    def score_bucket(grp: pd.DataFrame) -> pd.DataFrame:
+        # applyInPandas: ONE complete bucket per call (a mapInPandas batch
+        # could split a bucket and emit wrong partial sums).
+        lo, hi = None, None
+        per_term = {}
+        for term, tg in grp.groupby("term"):
+            tg = tg.sort_values("block_id")
+            docs_l, tfs_l, norms_l = [], [], []
+            for r in tg.itertuples():  # loop over BLOCKS, not postings
+                d, t, nb = decode_block(
+                    r.first_doc, r.doc_bytes, r.tf_bytes, r.norm_bytes
+                )
+                docs_l.append(d)
+                tfs_l.append(t)
+                norms_l.append(nb)
+            docs = np.concatenate(docs_l)
+            tfs = np.concatenate(tfs_l).astype(np.float64)
+            dlq = LENGTH_TABLE[np.concatenate(norms_l)].astype(np.float64)
+            per_term[term] = (docs, tfs, dlq)
+            lo = docs.min() if lo is None else min(lo, docs.min())
+            hi = docs.max() if hi is None else max(hi, docs.max())
+        scores = np.zeros(int(hi - lo + 1))
+        # dense accumulation in sorted-term order == the exhaustive
+        # scorer's fold order -> bit-identical floats.
+        for t in sorted_terms:
+            if t not in per_term:
+                continue
+            docs, tfs, dlq = per_term[t]
+            scores[docs - lo] += weights[t] * tfs / (
+                tfs + k1 * (1.0 - b + b * dlq / avgdl)
+            )
+        nz = np.flatnonzero(scores)
+        if nz.size > k:
+            nz = nz[np.argpartition(scores[nz], -k)[-k:]]
+        return pd.DataFrame({"doc_id": nz + lo, "score": scores[nz]})
+
+    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
+
+    def theta() -> float:
+        return heap[0][0] if len(heap) >= k else float("-inf")
+
+    i = 0
+    while i < len(order):
+        if order[i][1] < theta():
+            break  # WAND stop: no remaining bucket can reach the top-k
+        batch = [bid for bid, ub in order[i : i + bucket_batch]]
+        i += bucket_batch
+        rows = (
+            cand.filter(F.col("bucket_id").isin(batch))
+            .groupBy("bucket_id")
+            .applyInPandas(
+                lambda _key, g: score_bucket(g), "doc_id long, score double"
+            )
+            .collect()
+        )
+        for r in rows:
+            item = (r["score"], -int(r["doc_id"]))
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+    cand.unpersist()
+
+    result = sorted(((s, -nd) for s, nd in heap), key=lambda x: (-x[0], x[1]))
+    return spark.createDataFrame(
+        [(int(d), float(s)) for s, d in result], out_schema
+    )

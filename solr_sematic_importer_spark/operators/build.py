@@ -138,6 +138,10 @@ def write_index(index: InvertedIndex, path: str) -> None:
     index.doc_stats.write.mode("overwrite").parquet(f"{path}/doc_stats")
     index.postings_flat.write.mode("overwrite").parquet(f"{path}/postings_flat")
     index.term_stats.write.mode("overwrite").parquet(f"{path}/term_stats")
+    if index.postings_blocks is not None:
+        from .block_postings import write_blocks
+
+        write_blocks(index.postings_blocks, f"{path}/postings_blocks")
     meta = index.doc_stats.sparkSession.createDataFrame(
         [
             ("n_docs", str(index.n_docs)),
@@ -152,7 +156,12 @@ def write_index(index: InvertedIndex, path: str) -> None:
 
 def read_index(spark: SparkSession, path: str) -> InvertedIndex:
     meta = {r["key"]: r["value"] for r in spark.read.parquet(f"{path}/index_meta").collect()}
+    try:  # optional component; works on any Hadoop-compatible filesystem
+        blocks = spark.read.parquet(f"{path}/postings_blocks")
+    except Exception:
+        blocks = None
     return InvertedIndex(
+        postings_blocks=blocks,
         doc_stats=spark.read.parquet(f"{path}/doc_stats"),
         postings_flat=spark.read.parquet(f"{path}/postings_flat"),
         term_stats=spark.read.parquet(f"{path}/term_stats"),

@@ -1,0 +1,93 @@
+"""Block postings + block-max WAND: identical top-k vs exhaustive scoring
+(SURVEY §7.1 step 8 acceptance: "assert identical top-k vs exhaustive")."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from solr_sematic_importer_spark.functions.codec import decode_block
+from solr_sematic_importer_spark.operators.block_postings import (
+    bm25_topk_wand,
+    build_block_postings,
+)
+from solr_sematic_importer_spark.operators.build import build_index
+from solr_sematic_importer_spark.operators.score import bm25_topk
+from solr_sematic_importer_spark.sources.transcripts import synthetic_transcripts
+
+N_CONVS = 120
+
+QUERIES = [
+    "zeppelin",
+    "zeppelin quartz obsidian",
+    "the you one word",          # hot head terms -> many candidate buckets
+    "running runs indexing",
+    "word can use how said each",
+    "nonexistentterm42",
+    "",
+]
+
+
+@pytest.fixture(scope="module")
+def blocked(spark):
+    df = synthetic_transcripts(spark, N_CONVS)
+    idx = build_index(df, profile="text_en")
+    # small buckets (256 docs) so the corpus spans many buckets and the
+    # WAND early-stop actually exercises
+    blocks = build_block_postings(idx, bucket_bits=8)
+    blocks.persist().count()
+    return idx, blocks
+
+
+def test_blocks_cover_all_postings(blocked):
+    idx, blocks = blocked
+    got = blocks.agg(F.sum("cnt")).first()[0]
+    want = idx.postings_flat.count()
+    assert got == want
+    # per-term totals == docfreq
+    per_term = blocks.groupBy("term").agg(F.sum("cnt").alias("c"))
+    joined = per_term.join(idx.term_stats, "term")
+    assert joined.filter(F.col("c") != F.col("df")).count() == 0
+
+
+def test_blocks_disjoint_sorted_within_bucket(blocked):
+    _, blocks = blocked
+    rows = blocks.filter(F.col("term") == "zeppelin").orderBy(
+        "bucket_id", "block_id"
+    ).collect()
+    assert rows
+    prev = -1
+    for r in rows:
+        docs, tfs, norms = decode_block(
+            r["first_doc"], r["doc_bytes"], r["tf_bytes"], r["norm_bytes"]
+        )
+        assert docs[0] > prev
+        assert np.all(np.diff(docs) > 0)
+        # every doc in the block belongs to the row's bucket
+        assert np.all((docs >> 8) == r["bucket_id"])
+        assert r["max_tf"] == tfs.max()
+        prev = int(docs[-1])
+
+
+def test_wand_identical_to_exhaustive(blocked):
+    idx, _ = blocked
+    for q in QUERIES:
+        exh = [
+            (r["doc_id"], r["score"])
+            for r in bm25_topk(idx, q, k=10, quantize=True)
+            .select("doc_id", "score")
+            .collect()
+        ]
+        wand = [
+            (r["doc_id"], r["score"])
+            for r in bm25_topk_wand(idx, q, k=10, bucket_batch=8).collect()
+        ]
+        assert [d for d, _ in wand] == [d for d, _ in exh], q
+        for (_, ws), (_, es) in zip(wand, exh):
+            assert ws == pytest.approx(es, abs=1e-12), q
+
+
+def test_wand_k_larger_than_hits(blocked):
+    idx, _ = blocked
+    got = bm25_topk_wand(idx, "zeppelin", k=10_000).collect()
+    df_z = idx.term_stats.filter(F.col("term") == "zeppelin").first()["df"]
+    assert len(got) == df_z
