@@ -49,17 +49,25 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+_INDEX_CACHE: dict = {}
+
+
 def _doc_index(spark: SparkSession, sf_dir: str):
     from solr_sematic_importer_spark.operators.build import build_index
 
+    key = ("docs", sf_dir)
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
     _prepare(spark)
-    return build_index(
+    idx = build_index(
         _docs(spark, sf_dir),
         text_col="text",
         key_cols=("doc_id",),
         profile="simple",
         doc_id_col="doc_id",
     )
+    _INDEX_CACHE[key] = idx
+    return idx
 
 
 # --------------------------------------------------------------------------
@@ -277,6 +285,30 @@ def q_bm25_wand(spark, sf_dir):
     return bm25_topk_wand(idx, "merging sorted windows", k=10)
 
 
+def q_segmented_build(spark, sf_dir):
+    """Log-structured segmented build + manifest resume (north_rule
+    'resumable from checkpoint with per-partition lineage + metrics'):
+    two segments appended over disjoint conv ranges, queried as one
+    logical index. Rows-only (manifest/side-effect machinery)."""
+    import tempfile
+
+    from solr_sematic_importer_spark.operators.score import bm25_topk
+    from solr_sematic_importer_spark.operators.segments import (
+        append_segment,
+        read_segmented_index,
+    )
+    from solr_sematic_importer_spark.sources.transcripts import transcripts_from_documents
+
+    _prepare(spark)
+    t = transcripts_from_documents(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="segidx_")
+    mid = "conv_00000250"
+    append_segment(spark, path, "lo", t.filter(F.col("conv_id") < mid))
+    append_segment(spark, path, "hi", t.filter(F.col("conv_id") >= mid))
+    idx = read_segmented_index(spark, path)
+    return bm25_topk(idx, "merging sorted windows", k=10)
+
+
 def q_minhash_lsh(spark, sf_dir):
     from solr_sematic_importer_spark.operators.dedup import (
         lsh_candidate_pairs,
@@ -333,6 +365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (no oracle entry):
         "bm25_lucene_text_en": q_bm25_lucene,
         "bm25_wand_blocks": q_bm25_wand,
+        "segmented_build_resume": q_segmented_build,
         "minhash_lsh_candidates": q_minhash_lsh,
         "simhash_fingerprints": q_simhash,
         "ann_lsh_topk": q_ann_lsh,
