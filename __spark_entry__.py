@@ -240,6 +240,23 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_truncate(spark, sf_dir):
+    # P6 truncate (InlineDocumentListener.java:93-99)
+    from solr_sematic_importer_spark.operators.enrich import truncate_field
+
+    return truncate_field(
+        _docs(spark, sf_dir).select("doc_id", "text"), "text", 50, "text_trunc"
+    ).select("doc_id", "text_trunc")
+
+
+def q_solr_dates(spark, sf_dir):
+    # F1/F2 Solr canonical date string (SolrSemanticIndexer.java:230-262)
+    from solr_sematic_importer_spark.operators.enrich import solr_date_string
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select("event_id", solr_date_string(F.col("ts")).alias("solr_date"))
+
+
 def q_ann_cosine(spark, sf_dir):
     from solr_sematic_importer_spark.operators.similarity_search import brute_force_cosine_topk
 
@@ -338,6 +355,39 @@ def q_ann_lsh(spark, sf_dir):
     return rp_lsh_cosine_topk(emb, qv, dim=len(qv), k=10, bits=16, radius=4)
 
 
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing (rows-only): binary payload + typed metadata ->
+    Arrow-batched mapInPandas feature extraction (decode kernel is a
+    deterministic stub; the Spark dataflow is real)."""
+    from solr_sematic_importer_spark.operators.multimodal import (
+        extract_features,
+        synthetic_media,
+    )
+
+    _prepare(spark)
+    return extract_features(synthetic_media(spark, 120))
+
+
+def q_media_frames(spark, sf_dir):
+    from solr_sematic_importer_spark.operators.multimodal import (
+        sample_frames,
+        synthetic_media,
+    )
+
+    _prepare(spark)
+    return sample_frames(synthetic_media(spark, 120), every_ms=1000)
+
+
+def q_media_stats(spark, sf_dir):
+    from solr_sematic_importer_spark.operators.multimodal import (
+        media_stats,
+        synthetic_media,
+    )
+
+    _prepare(spark)
+    return media_stats(synthetic_media(spark, 120))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tf_per_doc_term": q_tf,
@@ -362,6 +412,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine,
+        "truncate_field": q_truncate,
+        "solr_date_format": q_solr_dates,
+        "media_features": q_media_features,
+        "media_frame_sample": q_media_frames,
+        "media_stats_by_kind": q_media_stats,
         # rows-only (no oracle entry):
         "bm25_lucene_text_en": q_bm25_lucene,
         "bm25_wand_blocks": q_bm25_wand,
@@ -572,4 +627,10 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, round(c, 4) AS cosine
             FROM s ORDER BY c DESC, vec_id ASC LIMIT 10""",
+        "truncate_field": """
+            SELECT doc_id, substring(text, 1, 50) AS text_trunc FROM documents""",
+        "solr_date_format": """
+            SELECT event_id,
+                   strftime(ts, '%Y-%m-%dT%H:%M:%S.%gZ') AS solr_date
+            FROM events""",
     }

@@ -136,6 +136,34 @@ def analyze_series(texts: pd.Series, profile: str) -> pd.Series:
     return texts.map(lambda t: fn(t) if t is not None else [])
 
 
+def tf_series(texts: pd.Series, profile: str):
+    """Batch analyze + per-doc term-frequency fold.
+
+    Returns (terms, tfs, dl) Series: per doc the SORTED unique terms, their
+    counts, and the total token count. Computing tf here — while the doc is
+    still in one Python batch — means the engine never shuffles raw token
+    occurrences: the downstream explode emits one row per DISTINCT
+    (doc, term) with tf attached, and the only index-build shuffle left is
+    the docfreq aggregation."""
+    from collections import Counter
+
+    fn = PROFILES[profile]
+    terms_out, tfs_out, dl_out = [], [], []
+    for t in texts:
+        toks = fn(t) if t is not None else []
+        c = Counter(toks)
+        ks = sorted(c)
+        terms_out.append(ks)
+        tfs_out.append([c[k] for k in ks])
+        dl_out.append(len(toks))
+    idx = texts.index
+    return (
+        pd.Series(terms_out, index=idx),
+        pd.Series(tfs_out, index=idx),
+        pd.Series(dl_out, index=idx),
+    )
+
+
 def make_analyze_udf(profile: str):
     """Arrow-vectorized pandas_udf: string -> array<string>.
 

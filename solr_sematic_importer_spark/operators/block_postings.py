@@ -38,7 +38,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.codec import decode_block, encode_blocks
+from ..functions.codec import decode_block
 from ..functions.similarity import (
     B_DEFAULT,
     K1_DEFAULT,
@@ -53,9 +53,94 @@ DEFAULT_BUCKET_BITS = 14  # 16384-doc buckets: skew bound + pruning unit
 
 BLOCKS_SCHEMA = (
     "term string, bucket_id long, block_id int, first_doc long, last_doc long, "
-    "cnt int, max_tf int, max_impact double, "
+    "cnt int, max_tf int, sum_tf long, max_impact double, "
     "doc_bytes binary, tf_bytes binary, norm_bytes binary"
 )
+
+
+def encode_flat_to_blocks(
+    flat: DataFrame,
+    avgdl: float,
+    bucket_bits: int = DEFAULT_BUCKET_BITS,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(term, doc_id, tf, dl) rows -> compressed block rows.
+
+    ONE shuffle: repartition by (term, bucket) — the bucket doubles as the
+    hot-term salt, so no partition receives more than a bucket's worth of
+    any term — then a partition-local sort and ONE vectorized encode pass
+    per partition (``encode_partition_blocks``): group detection, varint
+    packing and block maxima are whole-array NumPy; there is no per-group
+    pandas dispatch (the vocab long tail makes groups tiny and numerous —
+    per-group overhead would dominate the encode).
+
+    Always Lucene-quantized: the per-posting norm byte is the SmallFloat
+    code; impacts (and therefore WAND bounds) use the decoded quantized
+    dl, matching what Solr's BM25 actually scores with.
+    """
+    spark = flat.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    with_bucket = flat.withColumn(
+        "bucket_id", F.shiftright(F.col("doc_id"), bucket_bits)
+    ).select("term", "bucket_id", "doc_id", "tf", "dl")
+    part = with_bucket.repartition(
+        num_partitions, "term", "bucket_id"
+    ).sortWithinPartitions("term", "bucket_id", "doc_id")
+
+    def enc(batches):
+        # mapInArrow + dictionary-encoded terms: the kernel never creates a
+        # Python object per posting (40M pandas str conversions measured as
+        # the encode bottleneck). Group detection runs on int32 dictionary
+        # indices; equal terms are contiguous (partition is sorted), so
+        # index change points == term change points.
+        import pyarrow as pa
+
+        from ..functions.codec import encode_partition_blocks
+
+        # Arrow batches can split a (term, bucket) group: assemble the
+        # whole partition (bounded by num_partitions sizing) first.
+        batches = [bt for bt in batches if bt.num_rows]
+        if not batches:
+            return
+        tbl = pa.Table.from_batches(batches).combine_chunks()
+        dict_arr = pa.compute.dictionary_encode(tbl.column("term").chunk(0))
+        idx = dict_arr.indices.to_numpy()
+        vocab = dict_arr.dictionary
+        buckets = tbl.column("bucket_id").chunk(0).to_numpy()
+        docs = tbl.column("doc_id").chunk(0).to_numpy()
+        tfs = tbl.column("tf").chunk(0).to_numpy().astype(np.int64)
+        dls = tbl.column("dl").chunk(0).to_numpy().astype(np.int64)
+        norms = encode_norms(dls)
+        dlq = LENGTH_TABLE[norms].astype(np.float64)
+        impacts = tfs / (tfs + k1 * (1.0 - b + b * dlq / avgdl))
+        cols = encode_partition_blocks(idx, buckets, docs, tfs, norms, impacts)
+        yield pa.RecordBatch.from_arrays(
+            [
+                vocab.take(pa.array(cols["term"], type=pa.int32())),
+                pa.array(np.asarray(cols["bucket_id"], dtype=np.int64)),
+                pa.array(np.asarray(cols["block_id"], dtype=np.int32)),
+                pa.array(np.asarray(cols["first_doc"], dtype=np.int64)),
+                pa.array(np.asarray(cols["last_doc"], dtype=np.int64)),
+                pa.array(np.asarray(cols["cnt"], dtype=np.int32)),
+                pa.array(np.asarray(cols["max_tf"], dtype=np.int32)),
+                pa.array(np.asarray(cols["sum_tf"], dtype=np.int64)),
+                pa.array(np.asarray(cols["max_impact"], dtype=np.float64)),
+                pa.array(cols["doc_bytes"], type=pa.binary()),
+                pa.array(cols["tf_bytes"], type=pa.binary()),
+                pa.array(cols["norm_bytes"], type=pa.binary()),
+            ],
+            names=[
+                "term", "bucket_id", "block_id", "first_doc", "last_doc",
+                "cnt", "max_tf", "sum_tf", "max_impact",
+                "doc_bytes", "tf_bytes", "norm_bytes",
+            ],
+        )
+
+    return part.mapInArrow(enc, BLOCKS_SCHEMA)
 
 
 def build_block_postings(
@@ -64,42 +149,46 @@ def build_block_postings(
     k1: float = K1_DEFAULT,
     b: float = B_DEFAULT,
 ) -> DataFrame:
-    """postings_flat -> compressed block rows, grouped by (term, bucket).
-
-    Always Lucene-quantized: the per-posting norm byte is the SmallFloat
-    code; impacts (and therefore WAND bounds) use the decoded quantized dl,
-    matching what Solr's BM25 actually scores with.
-    """
-    avgdl = index.avgdl
-
-    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id")
-        term = pdf["term"].iloc[0]
-        bucket = int(pdf["bucket_id"].iloc[0])
-        docs = pdf["doc_id"].to_numpy(dtype=np.int64)
-        tfs = pdf["tf"].to_numpy(dtype=np.int64)
-        norms = encode_norms(pdf["dl"].to_numpy(dtype=np.int64))
-        dlq = LENGTH_TABLE[norms].astype(np.float64)
-        impacts = tfs / (tfs + k1 * (1.0 - b + b * dlq / avgdl))
-        rows = [
-            (term, bucket, *blk)
-            for blk in encode_blocks(docs, tfs, norms, impacts)
-        ]
-        return pd.DataFrame(
-            rows,
-            columns=[
-                "term", "bucket_id", "block_id", "first_doc", "last_doc",
-                "cnt", "max_tf", "max_impact",
-                "doc_bytes", "tf_bytes", "norm_bytes",
-            ],
-        )
-
-    flat = index.postings_flat.withColumn(
-        "bucket_id", F.shiftright(F.col("doc_id"), bucket_bits)
+    """Attach compressed block postings to a built index."""
+    blocks = encode_flat_to_blocks(
+        index.postings_flat, index.avgdl, bucket_bits, k1, b
     )
-    blocks = flat.groupBy("term", "bucket_id").applyInPandas(encode, BLOCKS_SCHEMA)
     index.postings_blocks = blocks
     return blocks
+
+
+def decode_blocks_to_flat(blocks: DataFrame) -> DataFrame:
+    """Inverse view for blocks-only indexes: decode block rows back to
+    (term, doc_id, tf, dl_quant) flat postings. The EXACT dl is not stored
+    in blocks (only the SmallFloat norm byte) — callers needing exact dl
+    join doc_stats on doc_id."""
+
+    def dec(batches):
+        from ..functions.codec import decode_block
+        from ..functions.similarity import LENGTH_TABLE as LT
+
+        for b in batches:
+            if not len(b):
+                continue
+            terms, docs, tfs, dlq = [], [], [], []
+            for r in b.itertuples():  # loop over blocks, not postings
+                d, t, nb = decode_block(r.first_doc, r.doc_bytes, r.tf_bytes, r.norm_bytes)
+                terms.append(np.repeat(r.term, d.size))
+                docs.append(d)
+                tfs.append(t)
+                dlq.append(LT[nb])
+            yield pd.DataFrame(
+                {
+                    "term": np.concatenate(terms),
+                    "doc_id": np.concatenate(docs),
+                    "tf": np.concatenate(tfs),
+                    "dl_quant": np.concatenate(dlq),
+                }
+            )
+
+    return blocks.mapInPandas(
+        dec, "term string, doc_id long, tf long, dl_quant long"
+    )
 
 
 def write_blocks(blocks: DataFrame, path: str) -> None:

@@ -27,13 +27,17 @@ quantized is what Solr's BM25 actually scores with.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Sequence
+from typing import Iterator, Sequence
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-from ..functions.analyzer import make_analyze_udf
 from ..functions.similarity import LENGTH_TABLE
-from .docid import assign_doc_ids
+
+# Serialized cache: the tokenized corpus as deserialized Java objects (one
+# String per token) causes GC thrash that *inverts* scaling — local[32]
+# measured slower than local[8]. MEMORY_AND_DISK stores serialized blocks.
+CACHE_LEVEL = StorageLevel.MEMORY_AND_DISK
 
 
 def quantize_dl_col(dl: Column) -> Column:
@@ -44,6 +48,100 @@ def quantize_dl_col(dl: Column) -> Column:
     Python stage)."""
     table = F.lit([int(v) for v in LENGTH_TABLE])
     return F.array_max(F.filter(table, lambda x: x <= dl)).cast("long")
+
+
+def _stamp_and_analyze(
+    df: DataFrame,
+    text_col: str,
+    key_cols: Sequence[str],
+    profile: str,
+    doc_id_offset: int = 0,
+) -> DataFrame:
+    """Fused docid assignment + analysis + per-doc tf (SURVEY §2.5 W1 +
+    §2.8 + A5 in ONE Python stage): range-partition + sort by key,
+    prefix-sum offsets from a cheap count job, then a single mapInPandas
+    stamps ``offset + local ordinal``, tokenizes, and folds term
+    frequencies per doc. Ids are a pure function of the key order —
+    independent of parallelism (rank-identity). Folding tf here removes
+    the (doc, term) hash-agg shuffle entirely: a doc's tokens never leave
+    the partition (that shuffle measured as the NON-scaling stage — a
+    string-heavy hash agg over every token occurrence)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.analyzer import tf_series
+
+    key_cols = list(key_cols)
+    spark = df.sparkSession
+    nparts = max(2 * spark.sparkContext.defaultParallelism, 2)
+    ordered = (
+        df.repartitionByRange(nparts, *key_cols)
+        .sortWithinPartitions(*key_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    ordered.persist(CACHE_LEVEL)
+    counts = dict(
+        (r["_pid"], r["cnt"])
+        for r in ordered.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    )
+    offsets, acc = {}, doc_id_offset
+    for pid in range(max(counts) + 1 if counts else 0):
+        offsets[pid] = acc
+        acc += counts.get(pid, 0)
+
+    key_fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_schema = ", ".join(
+        ["doc_id long"]
+        + [f"{c} {key_fields[c]}" for c in key_cols]
+        + ["terms array<string>", "tfs array<int>", "dl long"]
+    )
+
+    def stamp_analyze(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local = 0
+        for b in batches:
+            if not len(b):
+                continue
+            off = offsets[int(b["_pid"].iloc[0])]
+            ids = np.arange(off + local, off + local + len(b), dtype=np.int64)
+            local += len(b)
+            out = {"doc_id": ids}
+            for c in key_cols:
+                out[c] = b[c]
+            out["terms"], out["tfs"], out["dl"] = tf_series(b[text_col], profile)
+            yield pd.DataFrame(out)
+
+    return ordered.mapInPandas(stamp_analyze, schema=out_schema)
+
+
+def _analyze_with_ids(
+    df: DataFrame, text_col: str, key_cols: Sequence[str], doc_id_col: str, profile: str
+) -> DataFrame:
+    """Same fused analyze+tf stage for inputs that already carry a dense
+    stable id (no ordering pass needed)."""
+    import pandas as pd
+
+    from ..functions.analyzer import tf_series
+
+    key_cols = [c for c in key_cols if c != doc_id_col]
+    key_fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_schema = ", ".join(
+        ["doc_id long"]
+        + [f"{c} {key_fields[c]}" for c in key_cols]
+        + ["terms array<string>", "tfs array<int>", "dl long"]
+    )
+
+    def analyze(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if not len(b):
+                continue
+            out = {"doc_id": b[doc_id_col].astype("int64")}
+            for c in key_cols:
+                out[c] = b[c]
+            out["terms"], out["tfs"], out["dl"] = tf_series(b[text_col], profile)
+            yield pd.DataFrame(out)
+
+    cols = list(dict.fromkeys([doc_id_col, *key_cols, text_col]))
+    return df.select(*cols).mapInPandas(analyze, schema=out_schema)
 
 
 @dataclass
@@ -71,44 +169,45 @@ def build_index(
     key_cols: Sequence[str] = ("conv_id", "turn_idx"),
     profile: str = "text_en",
     doc_id_col: str | None = None,
+    doc_id_offset: int = 0,
 ) -> InvertedIndex:
     """Build the logical index. If ``doc_id_col`` is given it is used as the
     (already dense/stable) document id; otherwise ids are assigned by global
     ``(key_cols)`` rank via the two-pass zip-with-index."""
     key_cols = list(key_cols)
-    analyze = make_analyze_udf(profile)
 
+    # The analyzer is the expensive Python stage: run it exactly ONCE,
+    # persist its output (serialized), and derive doc_stats / postings /
+    # corpus stats from the cache. When ids must be assigned, the docid
+    # stamp (two-pass zip-with-index, docid.py) is FUSED into the same
+    # mapInPandas as the analyzer — one Python round-trip instead of two.
     if doc_id_col is None:
-        with_ids = assign_doc_ids(df, key_cols=key_cols)
-        id_col = "doc_id"
+        analyzed = _stamp_and_analyze(df, text_col, key_cols, profile, doc_id_offset)
     else:
-        with_ids = df
-        id_col = doc_id_col
-
-    # The analyzer UDF is the expensive Python stage: run it exactly ONCE,
-    # persist its output, and derive doc_stats / postings / corpus stats from
-    # the cache (previously doc_stats and postings each re-ran the UDF).
-    analyzed = with_ids.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        *[F.col(c) for c in key_cols if c != id_col],
-        analyze(F.col(text_col)).alias("_toks"),
-    ).withColumn("dl", F.size("_toks").cast("long"))
+        analyzed = _analyze_with_ids(df, text_col, key_cols, doc_id_col, profile)
     analyzed = analyzed.withColumn("dl_quant", quantize_dl_col(F.col("dl")))
-    analyzed.persist()
+    analyzed.persist(CACHE_LEVEL)
 
-    doc_stats = analyzed.drop("_toks")
+    doc_stats = analyzed.drop("terms", "tfs")
 
-    # dl/dl_quant are functionally dependent on doc_id -> grouping by them is
-    # free and saves the doc_stats join at scoring time (SURVEY §2.3 J4).
-    # Map-side partial agg means the shuffle carries only DISTINCT
-    # (doc, term) pairs, not every token occurrence.
+    # tf was folded per doc inside the Python stage, so this explode emits
+    # one row per DISTINCT (doc, term) and needs NO shuffle and no agg —
+    # a narrow stage. dl/dl_quant are denormalized into the postings rows
+    # so query-time scoring needs no doc_stats join (SURVEY §2.3 J4).
     postings_flat = (
-        analyzed.select("doc_id", "dl", "dl_quant", F.explode("_toks").alias("term"))
-        .groupBy("doc_id", "dl", "dl_quant", "term")
-        .agg(F.count("*").alias("tf"))
-        .select("term", "doc_id", "tf", "dl", "dl_quant")
+        analyzed.select(
+            "doc_id", "dl", "dl_quant",
+            F.explode(F.arrays_zip("terms", "tfs")).alias("p"),
+        )
+        .select(
+            F.col("p.terms").alias("term"),
+            "doc_id",
+            F.col("p.tfs").cast("long").alias("tf"),
+            "dl",
+            "dl_quant",
+        )
     )
-    postings_flat.persist()
+    postings_flat.persist(CACHE_LEVEL)
 
     # term_stats is the query-time idf dictionary: vocab-sized (small), hit
     # by every query — keep it hot so a query never re-aggregates postings.
@@ -130,6 +229,96 @@ def build_index(
         profile=profile,
         key_cols=tuple(key_cols),
     )
+
+
+def build_and_write_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    key_cols: Sequence[str] = ("conv_id", "turn_idx"),
+    profile: str = "text_en",
+    doc_id_col: str | None = None,
+    doc_id_offset: int = 0,
+    bucket_bits: int | None = None,
+    write_flat: bool = False,
+) -> "InvertedIndex":
+    """The scale-path build: input table -> persistent index at ``path``
+    with MINIMAL materialization (this is what bench/scaling measure):
+
+    1. one fused Python stage (docid stamp + analyze + per-doc tf),
+       persisted serialized for the fan-out below;
+    2. ``doc_stats`` written (narrow);
+    3. ONE shuffle: explode -> repartition(term, bucket) -> vectorized
+       block encode -> ``postings_blocks`` written;
+    4. ``term_stats`` derived from block METADATA (sum of per-block cnt /
+       sum_tf — no second pass over postings);
+    5. ``index_meta`` from a doc_stats aggregate.
+
+    The flat postings table is NOT written by default — blocks are the
+    canonical index; ``read_index`` reconstructs a flat view by decoding
+    blocks when needed. Pass ``write_flat=True`` to also persist it (for
+    the SQL-oracle/debug path at small scale).
+    """
+    from .block_postings import DEFAULT_BUCKET_BITS, encode_flat_to_blocks
+
+    if bucket_bits is None:
+        bucket_bits = DEFAULT_BUCKET_BITS
+    spark = df.sparkSession
+    key_cols = list(key_cols)
+
+    if doc_id_col is None:
+        analyzed = _stamp_and_analyze(df, text_col, key_cols, profile, doc_id_offset)
+    else:
+        analyzed = _analyze_with_ids(df, text_col, key_cols, doc_id_col, profile)
+    analyzed = analyzed.withColumn("dl_quant", quantize_dl_col(F.col("dl")))
+    analyzed.persist(CACHE_LEVEL)
+
+    analyzed.drop("terms", "tfs").write.mode("overwrite").parquet(f"{path}/doc_stats")
+    doc_stats = spark.read.parquet(f"{path}/doc_stats")
+    stats = doc_stats.agg(
+        F.count("*").alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("s")
+    ).first()
+    n_docs, sum_dl = int(stats["n"]), int(stats["s"])
+    avgdl = sum_dl / n_docs if n_docs else 0.0
+
+    flat = analyzed.select(
+        "doc_id", "dl",
+        F.explode(F.arrays_zip("terms", "tfs")).alias("p"),
+    ).select(
+        F.col("p.terms").alias("term"),
+        "doc_id",
+        F.col("p.tfs").cast("long").alias("tf"),
+        "dl",
+    )
+    # encoder output is already hash-grouped by (term, bucket) and sorted
+    # within partitions — write directly, no second shuffle (parquet
+    # row-group min/max on term still prunes query-term scans)
+    blocks = encode_flat_to_blocks(flat, avgdl, bucket_bits=bucket_bits)
+    blocks.write.mode("overwrite").parquet(f"{path}/postings_blocks")
+    blocks_r = spark.read.parquet(f"{path}/postings_blocks")
+
+    term_stats = blocks_r.groupBy("term").agg(
+        F.sum("cnt").cast("long").alias("df"), F.sum("sum_tf").alias("ttf")
+    )
+    term_stats.write.mode("overwrite").parquet(f"{path}/term_stats")
+
+    if write_flat:
+        flat.withColumn("dl_quant", quantize_dl_col(F.col("dl"))).select(
+            "term", "doc_id", "tf", "dl", "dl_quant"
+        ).write.mode("overwrite").parquet(f"{path}/postings_flat")
+
+    meta = spark.createDataFrame(
+        [
+            ("n_docs", str(n_docs)),
+            ("sum_dl", str(sum_dl)),
+            ("profile", profile),
+            ("key_cols", ",".join(key_cols)),
+        ],
+        "key string, value string",
+    )
+    meta.write.mode("overwrite").parquet(f"{path}/index_meta")
+    analyzed.unpersist()
+    return read_index(spark, path)
 
 
 def write_index(index: InvertedIndex, path: str) -> None:
@@ -160,10 +349,23 @@ def read_index(spark: SparkSession, path: str) -> InvertedIndex:
         blocks = spark.read.parquet(f"{path}/postings_blocks")
     except Exception:
         blocks = None
+    doc_stats = spark.read.parquet(f"{path}/doc_stats")
+    try:
+        postings_flat = spark.read.parquet(f"{path}/postings_flat")
+    except Exception:
+        # blocks-only index: flat view = lazy decode of the canonical
+        # blocks, with exact dl re-joined from doc_stats
+        from .block_postings import decode_blocks_to_flat
+
+        if blocks is None:
+            raise
+        postings_flat = decode_blocks_to_flat(blocks).join(
+            doc_stats.select("doc_id", "dl"), "doc_id"
+        ).select("term", "doc_id", "tf", "dl", "dl_quant")
     return InvertedIndex(
         postings_blocks=blocks,
-        doc_stats=spark.read.parquet(f"{path}/doc_stats"),
-        postings_flat=spark.read.parquet(f"{path}/postings_flat"),
+        doc_stats=doc_stats,
+        postings_flat=postings_flat,
         term_stats=spark.read.parquet(f"{path}/term_stats"),
         n_docs=int(meta["n_docs"]),
         sum_dl=int(meta["sum_dl"]),

@@ -1,0 +1,187 @@
+"""Multimodal (image/audio/video) column plumbing for training-data
+pipelines.
+
+Media are opaque ``binary`` columns with a typed metadata struct — the
+pattern a 100 TB corpus needs: payload bytes stay columnar (parquet/
+Iceberg binary, page-compressed), metadata is prunable without touching
+payloads, and all per-item compute rides Arrow-batched ``mapInPandas``
+(one Python call per record batch, never per row).
+
+The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so the
+decode kernels are deliberately swappable: the default implementations
+are deterministic fakes (clearly marked) that exercise the REAL Spark
+plumbing — schema, partitioning, UDF signature, Arrow batch shape — and
+raise ``NotImplementedError`` when asked for a real codec. Swapping in a
+real decoder is a one-function change; nothing in the dataflow moves.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary, "
+    "meta struct<mime:string, width:int, height:int, duration_ms:int, nbytes:int>"
+)
+
+FEATURE_DIM = 64
+
+
+def synthetic_media(spark, n: int = 200, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table (payload = seeded bytes) used by
+    tests/bench; at production scale this is the Iceberg media table."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kinds = ["image", "audio", "video"]
+        for b in batches:
+            rows = []
+            for mid in b["id"]:
+                mid = int(mid)
+                rng = np.random.default_rng([seed, mid])
+                kind = kinds[mid % 3]
+                nbytes = int(rng.integers(256, 4096))
+                payload = rng.integers(0, 256, size=nbytes, dtype=np.uint8).tobytes()
+                rows.append(
+                    (
+                        mid,
+                        kind,
+                        payload,
+                        {
+                            "mime": {"image": "image/png", "audio": "audio/wav",
+                                     "video": "video/mp4"}[kind],
+                            "width": int(rng.integers(16, 512)) if kind != "audio" else None,
+                            "height": int(rng.integers(16, 512)) if kind != "audio" else None,
+                            "duration_ms": int(rng.integers(100, 60_000))
+                            if kind != "image" else None,
+                            "nbytes": nbytes,
+                        },
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+
+    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Decode kernels — STUBS. Real codecs are not installed in this container.
+# ---------------------------------------------------------------------------
+
+
+def fake_decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
+    """DETERMINISTIC FAKE decoder: hash-seeded pixels of the declared
+    shape. Stands in for PIL/turbojpeg; same output type/shape contract
+    (H x W x 3 uint8)."""
+    seed = int.from_bytes(hashlib.blake2b(payload, digest_size=8).digest(), "big")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+
+
+def real_decode_image(payload: bytes) -> np.ndarray:
+    """Swap-in point for an actual image codec."""
+    raise NotImplementedError(
+        "image codecs (PIL/opencv) are not available in this environment; "
+        "replace this function when they are"
+    )
+
+
+def _feature_vec(arr: np.ndarray) -> list[float]:
+    """Toy feature extractor: per-plane byte histograms folded to
+    FEATURE_DIM floats — vectorized, deterministic."""
+    h = np.histogram(arr, bins=FEATURE_DIM, range=(0, 256))[0].astype(np.float64)
+    n = np.linalg.norm(h)
+    return list(h / n if n else h)
+
+
+def extract_features(
+    media: DataFrame,
+    decode: Callable[[bytes, int, int], np.ndarray] = fake_decode_image,
+    batch_limit_bytes: int = 64 << 20,
+) -> DataFrame:
+    """Image -> FEATURE_DIM float feature vector over ``mapInPandas``.
+
+    Real plumbing, stub kernel: filters to image rows JVM-side (metadata
+    pruning — payload pages of other kinds are never read), then one
+    Python call per Arrow batch. ``batch_limit_bytes`` documents the
+    executor-memory contract: payload bytes per batch are bounded by
+    Arrow's maxRecordsPerBatch times the max payload size; size those
+    together at deployment."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            feats = [
+                _feature_vec(
+                    decode(p, int(m["width"]), int(m["height"]))
+                )
+                for p, m in zip(b["payload"], b["meta"])
+            ]
+            yield pd.DataFrame(
+                {"media_id": b["media_id"], "feature": feats}
+            )
+
+    imgs = media.filter(F.col("kind") == "image").select("media_id", "payload", "meta")
+    return imgs.mapInPandas(kernel, "media_id long, feature array<double>")
+
+
+def resize_images(
+    media: DataFrame,
+    out_w: int = 32,
+    out_h: int = 32,
+    decode: Callable[[bytes, int, int], np.ndarray] = fake_decode_image,
+) -> DataFrame:
+    """Decode -> nearest-neighbor resize -> re-encode as raw bytes.
+    Same mapInPandas shape as a real thumbnail job."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for p, m in zip(b["payload"], b["meta"]):
+                arr = decode(p, int(m["width"]), int(m["height"]))
+                ys = (np.arange(out_h) * arr.shape[0] // out_h)
+                xs = (np.arange(out_w) * arr.shape[1] // out_w)
+                out.append(arr[np.ix_(ys, xs)].tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": b["media_id"],
+                    "thumb": out,
+                    "width": out_w,
+                    "height": out_h,
+                }
+            )
+
+    imgs = media.filter(F.col("kind") == "image").select("media_id", "payload", "meta")
+    return imgs.mapInPandas(
+        kernel, "media_id long, thumb binary, width int, height int"
+    )
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling PLAN: expand (media_id, duration) into frame
+    timestamps JVM-side (posexplode of a sequence — no Python, no payload
+    read); the per-frame decode would plug into extract_features."""
+    vids = media.filter(F.col("kind") == "video")
+    n = F.greatest(
+        F.lit(1), (F.col("meta.duration_ms") / F.lit(every_ms)).cast("int")
+    )
+    return vids.select(
+        "media_id",
+        F.posexplode(F.sequence(F.lit(0), n - 1)).alias("frame_idx", "_i"),
+    ).select(
+        "media_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        (F.col("frame_idx") * every_ms).cast("long").alias("ts_ms"),
+    )
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Metadata-only aggregation: never touches payload pages (column
+    pruning — check ReadSchema in the explain output)."""
+    return media.groupBy("kind").agg(
+        F.count("*").alias("cnt"),
+        F.sum("meta.nbytes").alias("total_bytes"),
+        F.avg("meta.duration_ms").alias("avg_duration_ms"),
+    )

@@ -47,7 +47,6 @@ from .block_postings import (
     build_block_postings,
 )
 from .build import InvertedIndex, build_index
-from .docid import assign_doc_ids
 
 MANIFEST_SCHEMA = (
     "segment_key string, segment_dir string, n_docs long, doc_id_offset long, "
@@ -116,12 +115,9 @@ def append_segment(
     seg_dir = f"{path}/segments/{segment_key}"
     t0 = time.perf_counter()
 
-    with_ids = assign_doc_ids(df, key_cols=list(key_cols))
-    if offset:
-        with_ids = with_ids.withColumn("doc_id", F.col("doc_id") + F.lit(offset))
     idx = build_index(
-        with_ids, text_col=text_col, key_cols=key_cols,
-        profile=profile, doc_id_col="doc_id",
+        df, text_col=text_col, key_cols=key_cols,
+        profile=profile, doc_id_offset=offset,
     )
     build_block_postings(idx, bucket_bits=bucket_bits, k1=k1, b=b)
 

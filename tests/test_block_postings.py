@@ -91,3 +91,34 @@ def test_wand_k_larger_than_hits(blocked):
     got = bm25_topk_wand(idx, "zeppelin", k=10_000).collect()
     df_z = idx.term_stats.filter(F.col("term") == "zeppelin").first()["df"]
     assert len(got) == df_z
+
+
+def test_build_and_write_index_matches_memory_path(spark, tmp_path, blocked):
+    """The scale-path disk build (one shuffle, vectorized partition
+    encoder, term_stats from block metadata, blocks-only storage) must be
+    indistinguishable from the in-memory build."""
+    from solr_sematic_importer_spark.operators.build import build_and_write_index
+
+    mem, _ = blocked
+    df = synthetic_transcripts(spark, N_CONVS)
+    disk = build_and_write_index(
+        df, str(tmp_path / "idx"), profile="text_en", bucket_bits=8
+    )
+    assert (disk.n_docs, disk.sum_dl) == (mem.n_docs, mem.sum_dl)
+    ts_mem = {r["term"]: (r["df"], r["ttf"]) for r in mem.term_stats.collect()}
+    ts_disk = {r["term"]: (r["df"], r["ttf"]) for r in disk.term_stats.collect()}
+    assert ts_mem == ts_disk
+    for q in QUERIES[:5]:
+        a = [(r["doc_id"], r["score"]) for r in bm25_topk_wand(mem, q, k=10).collect()]
+        b = [(r["doc_id"], r["score"]) for r in bm25_topk_wand(disk, q, k=10).collect()]
+        assert a == b, q
+        # flat view decoded from blocks (exact-dl join) agrees too
+        c = [
+            (r["doc_id"], r["score"])
+            for r in bm25_topk(disk, q, k=10, quantize=True)
+            .select("doc_id", "score")
+            .collect()
+        ]
+        assert [d for d, _ in c] == [d for d, _ in b], q
+        for (_, sb), (_, sc) in zip(b, c):
+            assert sc == pytest.approx(sb, abs=1e-12)

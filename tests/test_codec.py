@@ -8,6 +8,7 @@ from solr_sematic_importer_spark.functions.codec import (
     BLOCK_SIZE,
     decode_block,
     encode_blocks,
+    encode_partition_blocks,
     varint_decode,
     varint_encode,
 )
@@ -63,11 +64,12 @@ def test_block_roundtrip(n, base, seed):
     out_docs, out_tfs, out_norms = [], [], []
     prev_last = -1
     for blk in encode_blocks(docs, tfs, norms, impacts):
-        bid, first, last, cnt, max_tf, max_imp, db, tb, nb = blk
+        bid, first, last, cnt, max_tf, sum_tf, max_imp, db, tb, nb = blk
         d, t, nrm = decode_block(first, db, tb, nb)
         assert d[0] == first and d[-1] == last and len(d) == cnt
         assert cnt <= BLOCK_SIZE
         assert max_tf == t.max()
+        assert sum_tf == t.sum()
         assert first > prev_last  # blocks strictly ordered
         prev_last = last
         out_docs.append(d)
@@ -83,6 +85,58 @@ def test_block_roundtrip(n, base, seed):
     )
 
 
+@given(st.integers(min_value=0), st.integers(min_value=1, max_value=20))
+@settings(max_examples=50, deadline=None)
+def test_partition_encoder_matches_per_group_encoder(seed, n_groups):
+    """The vectorized whole-partition encoder must produce EXACTLY the
+    blocks the per-group reference encoder produces, group by group."""
+    rng = np.random.default_rng(seed)
+    terms_g = [f"t{i:03d}" for i in range(n_groups)]
+    all_terms, all_buckets, all_docs, all_tfs, all_norms, all_imps = (
+        [], [], [], [], [], []
+    )
+    per_group = {}
+    for t in terms_g:
+        for bucket in sorted(set(rng.integers(0, 3, size=rng.integers(1, 3)).tolist())):
+            n = int(rng.integers(1, 400))
+            base = bucket << 12
+            docs = base + np.sort(
+                rng.choice(np.arange(4096), size=min(n, 4096), replace=False)
+            ).astype(np.int64)
+            tfs = rng.integers(1, 100, size=docs.size).astype(np.int64)
+            norms = rng.integers(0, 255, size=docs.size).astype(np.uint8)
+            imps = rng.random(docs.size)
+            per_group[(t, bucket)] = list(encode_blocks(docs, tfs, norms, imps))
+            all_terms += [t] * docs.size
+            all_buckets += [bucket] * docs.size
+            all_docs.append(docs)
+            all_tfs.append(tfs)
+            all_norms.append(norms)
+            all_imps.append(imps)
+    cols = encode_partition_blocks(
+        np.array(all_terms, dtype=object),
+        np.array(all_buckets, dtype=np.int64),
+        np.concatenate(all_docs),
+        np.concatenate(all_tfs),
+        np.concatenate(all_norms),
+        np.concatenate(all_imps),
+    )
+    got = {}
+    for i in range(len(cols["term"])):
+        got.setdefault((cols["term"][i], int(cols["bucket_id"][i])), []).append(
+            (
+                int(cols["block_id"][i]), int(cols["first_doc"][i]),
+                int(cols["last_doc"][i]), int(cols["cnt"][i]),
+                int(cols["max_tf"][i]), int(cols["sum_tf"][i]),
+                float(cols["max_impact"][i]), cols["doc_bytes"][i],
+                cols["tf_bytes"][i], cols["norm_bytes"][i],
+            )
+        )
+    assert set(got) == set(per_group)
+    for k in per_group:
+        assert got[k] == per_group[k], k
+
+
 def test_block_max_impact_is_upper_bound():
     rng = np.random.default_rng(7)
     n = 1000
@@ -93,6 +147,6 @@ def test_block_max_impact_is_upper_bound():
     impacts = tfs / (tfs + 1.2 * (0.25 + 0.75 * dlq / 100.0))
     off = 0
     for blk in encode_blocks(docs, tfs, norms, impacts):
-        cnt, max_imp = blk[3], blk[5]
+        cnt, max_imp = blk[3], blk[6]
         assert max_imp >= impacts[off : off + cnt].max() - 1e-15
         off += cnt
