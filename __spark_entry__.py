@@ -257,6 +257,24 @@ def q_solr_dates(spark, sf_dir):
     return ev.select("event_id", solr_date_string(F.col("ts")).alias("solr_date"))
 
 
+def q_flatten_nested(spark, sf_dir):
+    """S4 protobuf-style nested-record flatten (ProtobufToSolrDocument
+    semantics): nested structs -> '_'-joined flat fields, repeated ->
+    multiValued. Nested input synthesized from the customer table so the
+    oracle can verify the projection value-for-value."""
+    from solr_sematic_importer_spark.operators.flatten import flatten_records
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nested = cust.select(
+        "c_custkey",
+        F.struct(
+            F.col("c_name").alias("name"),
+            F.struct(F.col("c_acctbal").alias("bal")).alias("inner"),
+        ).alias("msg"),
+    )
+    return flatten_records(nested)
+
+
 def q_ann_cosine(spark, sf_dir):
     from solr_sematic_importer_spark.operators.similarity_search import brute_force_cosine_topk
 
@@ -414,6 +432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine,
         "truncate_field": q_truncate,
         "solr_date_format": q_solr_dates,
+        "flatten_nested": q_flatten_nested,
         "media_features": q_media_features,
         "media_frame_sample": q_media_frames,
         "media_stats_by_kind": q_media_stats,
@@ -633,4 +652,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    strftime(ts, '%Y-%m-%dT%H:%M:%S.%gZ') AS solr_date
             FROM events""",
+        "flatten_nested": """
+            SELECT c_custkey, c_name AS msg_name, c_acctbal AS msg_inner_bal
+            FROM customer""",
     }
