@@ -138,6 +138,24 @@ def q_bm25_and(spark, sf_dir):
     return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_bm25_page2(spark, sf_dir):
+    # T3 pagination: start=5, rows=10 (HttpSolrSelectClientImpl.java:111)
+    from solr_sematic_importer_spark.operators.score import bm25_topk
+
+    idx = _doc_index(spark, sf_dir)
+    top = bm25_topk(idx, Q_OR, k=10, offset=5, quantize=False)
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_bm25_exclude(spark, sf_dir):
+    # Lucene MUST_NOT (-term) prohibited-term semantics
+    from solr_sematic_importer_spark.operators.score import bm25_topk
+
+    idx = _doc_index(spark, sf_dir)
+    top = bm25_topk(idx, Q_OR, k=10, exclude=Q_RARE, quantize=False)
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def q_facet_lang(spark, sf_dir):
     # A2/Q5 facet count (reference: SolrAdminActions.java:252-265)
     return _docs(spark, sf_dir).groupBy("lang").agg(F.count("*").alias("cnt"))
@@ -415,6 +433,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_or": q_bm25_or,
         "bm25_topk_rare": q_bm25_rare,
         "bm25_conjunction": q_bm25_and,
+        "bm25_offset_page": q_bm25_page2,
+        "bm25_exclude_term": q_bm25_exclude,
         "facet_lang": q_facet_lang,
         "facet_source": q_facet_source,
         "chunks_char": q_chunks,
@@ -470,9 +490,20 @@ dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
 stats AS (SELECT count(*)::BIGINT AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl)"""
 
 
-def _bm25_oracle(terms: list[str], conjunction: bool = False) -> str:
+def _bm25_oracle(
+    terms: list[str],
+    conjunction: bool = False,
+    offset: int = 0,
+    exclude: str | None = None,
+    k: int = 10,
+) -> str:
     terms_sql = ", ".join(f"'{t}'" for t in terms)
     having = f"HAVING count(*) = {len(set(terms))}" if conjunction else ""
+    not_in = (
+        f"WHERE tf.doc_id NOT IN (SELECT doc_id FROM tf WHERE term = '{exclude}')"
+        if exclude
+        else ""
+    )
     return f"""
 WITH {_TF}{_DL},
 qt AS (SELECT unnest([{terms_sql}]) AS term),
@@ -489,11 +520,12 @@ scores AS (
     JOIN dft USING (term)
     JOIN dl USING (doc_id)
     CROSS JOIN stats s
+    {not_in}
     GROUP BY tf.doc_id
     {having}
 )
 SELECT doc_id, round(raw_score, 4) AS score
-FROM scores ORDER BY raw_score DESC, doc_id ASC LIMIT 10
+FROM scores ORDER BY raw_score DESC, doc_id ASC LIMIT {k} OFFSET {offset}
 """
 
 
@@ -525,6 +557,8 @@ def oracle_sql() -> dict[str, str]:
             FROM dl""",
         "bm25_topk_or": _bm25_oracle(Q_OR.split()),
         "bm25_topk_rare": _bm25_oracle(Q_RARE.split()),
+        "bm25_offset_page": _bm25_oracle(Q_OR.split(), offset=5),
+        "bm25_exclude_term": _bm25_oracle(Q_OR.split(), exclude=Q_RARE),
         "bm25_conjunction": _bm25_oracle(Q_AND.split(), conjunction=True),
         "facet_lang": "SELECT lang, count(*)::BIGINT AS cnt FROM documents GROUP BY lang",
         "facet_source": "SELECT source, count(*)::BIGINT AS cnt FROM documents GROUP BY source",

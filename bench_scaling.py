@@ -38,7 +38,7 @@ def worker(cpus: int, n_convs: int) -> None:
 
     # memory scales with cores — an executor on a real cluster brings its
     # own memory, so the N-vs-4N comparison gives each level 2 GiB/core
-    os.environ.setdefault("SPARK_DRIVER_MEMORY", f"{2 * cpus}g")
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", f"{max(2 * cpus, 12)}g")
     # shuffle dirs + index output on tmpfs: this sandbox's block device is
     # burst-throttled (measured 42-372 MB/s between consecutive runs),
     # which would swamp the scaling signal; a real cluster node has local

@@ -309,14 +309,18 @@ def bm25_topk_wand(
             break  # WAND stop: no remaining bucket can reach the top-k
         batch = [bid for bid, ub in order[i : i + bucket_batch]]
         i += bucket_batch
-        rows = (
+        scored_df = (
             cand.filter(F.col("bucket_id").isin(batch))
             .groupBy("bucket_id")
             .applyInPandas(
                 lambda _key, g: score_bucket(g), "doc_id long, score double"
             )
-            .collect()
         )
+        if index.deletes is not None:  # deletion vector (delete_by_query)
+            scored_df = scored_df.join(
+                index.deletes.select("doc_id"), "doc_id", "left_anti"
+            )
+        rows = scored_df.collect()
         for r in rows:
             item = (r["score"], -int(r["doc_id"]))
             if len(heap) < k:

@@ -156,6 +156,7 @@ class InvertedIndex:
     profile: str
     key_cols: Sequence[str] = field(default_factory=tuple)
     postings_blocks: DataFrame | None = None   # codec.py output (scale path)
+    deletes: DataFrame | None = None           # deletion vector (doc_id rows)
 
     @property
     def avgdl(self) -> float:
@@ -229,6 +230,24 @@ def build_index(
         profile=profile,
         key_cols=tuple(key_cols),
     )
+
+
+def delete_by_query(index: InvertedIndex, predicate) -> InvertedIndex:
+    """Q6 delete-by-query (``SolrAdminActions.java:268`` — the orphan
+    delete ``-crawl_id:X``) as a Lucene-style deletion vector: matching
+    doc ids are recorded in ``index.deletes`` and every scorer drops them
+    pre-ranking (anti-join on the tiny delete set). Like Lucene, corpus
+    statistics (N, avgdl, df) keep counting deleted docs until a physical
+    merge rewrites the segments."""
+    newly = index.doc_stats.filter(predicate).select("doc_id")
+    if index.deletes is None:
+        index.deletes = newly.distinct()
+    else:
+        index.deletes = (
+            index.deletes.select("doc_id").unionByName(newly).distinct()
+        )
+    index.deletes.persist()
+    return index
 
 
 def build_and_write_index(

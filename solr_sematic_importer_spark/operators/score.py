@@ -47,12 +47,20 @@ def bm25_topk(
     b: float = B_DEFAULT,
     quantize: bool = True,
     extra_filter=None,
+    offset: int = 0,
+    exclude: str | None = None,
 ) -> DataFrame:
     """Top-k (doc keys, score) for an OR-semantics BM25 query.
 
     ``extra_filter``: optional Column predicate over doc_stats columns —
     the reference's ``fq`` filter-query semantics
     (``HttpSolrSelectClientImpl.java:113-115``), applied pre-scoring.
+    ``offset``: pagination ``start`` (SURVEY §2.6 T3,
+    ``HttpSolrSelectClientImpl.java:111``) — computes top-(offset+k) and
+    slices, exactly Solr's deep-paging cost model.
+    ``exclude``: prohibited terms (Lucene ``-term`` MUST_NOT): documents
+    containing ANY of them are dropped pre-ranking via an anti-join on
+    their postings.
     """
     spark = index.postings_flat.sparkSession
     terms = analyze_query(query, index.profile)
@@ -113,7 +121,24 @@ def bm25_topk(
         allowed = index.doc_stats.filter(extra_filter).select("doc_id")
         per_doc = per_doc.join(allowed, "doc_id", "left_semi")
 
-    top = per_doc.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+    if exclude:
+        neg_terms = analyze_query(exclude, index.profile)
+        if neg_terms:
+            banned = index.postings_flat.filter(
+                F.col("term").isin(neg_terms)
+            ).select("doc_id")
+            per_doc = per_doc.join(banned, "doc_id", "left_anti")
+
+    if index.deletes is not None:
+        per_doc = per_doc.join(index.deletes.select("doc_id"), "doc_id", "left_anti")
+
+    top = (
+        per_doc.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(offset + k)
+    )
+    if offset:
+        rows = top.collect()[offset : offset + k]
+        top = spark.createDataFrame(rows, top.schema) if rows else spark.createDataFrame([], top.schema)
 
     lookup_cols = [c for c in key_cols if c != "doc_id"]
     if lookup_cols:
@@ -173,9 +198,7 @@ def bm25_conjunction_topk(
             lambda acc, x: acc + x["s"],
         ).alias("score"),
     )
-    return (
-        per_doc.filter(F.col("nt") == len(terms))
-        .select("doc_id", "score")
-        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
-        .limit(k)
-    )
+    hits = per_doc.filter(F.col("nt") == len(terms)).select("doc_id", "score")
+    if index.deletes is not None:
+        hits = hits.join(index.deletes.select("doc_id"), "doc_id", "left_anti")
+    return hits.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)

@@ -1,0 +1,63 @@
+"""Pagination (T3), prohibited terms, and delete-by-query (Q6)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from solr_sematic_importer_spark.operators.block_postings import (
+    bm25_topk_wand,
+    build_block_postings,
+)
+from solr_sematic_importer_spark.operators.build import build_index, delete_by_query
+from solr_sematic_importer_spark.operators.score import bm25_topk
+from solr_sematic_importer_spark.sources.transcripts import synthetic_transcripts
+
+
+@pytest.fixture(scope="module")
+def idx(spark):
+    df = synthetic_transcripts(spark, 80)
+    index = build_index(df, profile="text_en")
+    build_block_postings(index, bucket_bits=8)
+    index.postings_blocks.persist().count()
+    return index
+
+
+def _ids(rows):
+    return [r["doc_id"] for r in rows]
+
+
+def test_offset_pagination(idx):
+    full = bm25_topk(idx, "you one word", k=30).select("doc_id", "score").collect()
+    page2 = bm25_topk(idx, "you one word", k=10, offset=10).select(
+        "doc_id", "score"
+    ).collect()
+    assert _ids(page2) == _ids(full)[10:20]
+    page_beyond = bm25_topk(idx, "zeppelin", k=10, offset=10_000).collect()
+    assert page_beyond == []
+
+
+def test_exclude_terms(idx):
+    got = bm25_topk(idx, "you one", k=50, exclude="word").collect()
+    banned = {
+        r["doc_id"]
+        for r in idx.postings_flat.filter(F.col("term") == "word")
+        .select("doc_id")
+        .collect()
+    }
+    assert got and all(r["doc_id"] not in banned for r in got)
+
+
+def test_delete_by_query_masks_docs(idx):
+    before = bm25_topk(idx, "zeppelin", k=10).select("doc_id", "score").collect()
+    assert before
+    victim = before[0]["doc_id"]
+    delete_by_query(idx, F.col("doc_id") == victim)
+    try:
+        after = bm25_topk(idx, "zeppelin", k=10).select("doc_id", "score").collect()
+        assert victim not in _ids(after)
+        assert _ids(after) == [d for d in _ids(before) if d != victim][: len(after)]
+        # WAND path honors the deletion vector too
+        wand = bm25_topk_wand(idx, "zeppelin", k=10).collect()
+        assert victim not in _ids(wand)
+        assert _ids(wand)[: len(after)] == _ids(after)
+    finally:
+        idx.deletes = None
