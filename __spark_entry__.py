@@ -382,6 +382,27 @@ def q_simhash(spark, sf_dir):
     return simhash(idx.postings_flat.select("doc_id", "term", "tf"))
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF coarse-quantizer ANN (rows-only: k-means training on a seeded
+    driver-side sample; assignment/probing distributed). Probing ALL
+    clusters reproduces brute force exactly — tests assert it."""
+    from solr_sematic_importer_spark.operators.similarity_search import (
+        ivf_assign,
+        ivf_cosine_topk,
+        ivf_train_centroids,
+    )
+
+    _prepare(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    first = emb.filter(F.col("vec_id") == 0).first()
+    qv = [float(x) for x in first["embedding"]]
+    cent = ivf_train_centroids(emb, len(qv), n_clusters=8, iters=5)
+    assigned = ivf_assign(emb, cent)
+    return ivf_cosine_topk(assigned, cent, qv, k=10, nprobe=4).select(
+        "vec_id", F.round("cosine", 4).alias("cosine")
+    )
+
+
 def q_ann_lsh(spark, sf_dir):
     from solr_sematic_importer_spark.operators.similarity_search import rp_lsh_cosine_topk
 
@@ -463,6 +484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_candidates": q_minhash_lsh,
         "simhash_fingerprints": q_simhash,
         "ann_lsh_topk": q_ann_lsh,
+        "ann_ivf_topk": q_ann_ivf,
     }
 
 

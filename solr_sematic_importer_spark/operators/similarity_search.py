@@ -90,6 +90,84 @@ def rp_lsh_buckets(
     return df.select(id_col, vec_col).mapInPandas(sketch, schema="vec_id long, sketch long")
 
 
+def ivf_train_centroids(
+    df: DataFrame,
+    dim: int,
+    n_clusters: int = 16,
+    sample: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train an IVF coarse quantizer: k-means on a driver-side sample
+    (seeded, deterministic). At 100 TB the sample is still a few thousand
+    vectors — k-means training is never a distributed problem; only
+    ASSIGNMENT is, and that stays on executors."""
+    rows = df.select(vec_col).limit(sample).collect()
+    mat = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = mat[rng.choice(len(mat), size=min(n_clusters, len(mat)), replace=False)]
+    for _ in range(iters):
+        sims = mat @ cent.T
+        assign = sims.argmax(axis=1)
+        for c in range(cent.shape[0]):
+            members = mat[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Add ``cluster_id`` = nearest centroid (cosine). The IVF index is
+    this table written partitioned by ``cluster_id`` so a query scans only
+    the probed partitions (partition pruning on the parquet/Iceberg
+    scan)."""
+    cent = centroids
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            out = pdf.copy()
+            out["cluster_id"] = (mat @ cent.T).argmax(axis=1).astype(np.int32)
+            yield out
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("cluster_id", T.IntegerType())]
+    )
+    return df.mapInPandas(assign, schema=schema)
+
+
+def ivf_cosine_topk(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF query: rank centroids against the query driver-side, scan only
+    the ``nprobe`` nearest clusters (pushed filter -> partition pruning),
+    exact cosine re-rank inside them."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probe = np.argsort(-(centroids @ qn))[:nprobe].tolist()
+    cand = assigned.filter(F.col("cluster_id").isin([int(c) for c in probe]))
+    return brute_force_cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
 def rp_lsh_cosine_topk(
     df: DataFrame,
     query_vec: Sequence[float],
