@@ -156,6 +156,17 @@ def q_bm25_exclude(spark, sf_dir):
     return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_bm25_synonyms(spark, sf_dir):
+    """Query-time synonymGraph (managed-schema.xml:311) with Lucene
+    SynonymQuery scoring: df = max over group members, tf summed."""
+    from solr_sematic_importer_spark.operators.score import bm25_topk_synonyms
+
+    idx = _doc_index(spark, sf_dir)
+    rules = {"merge": ["merge", "sort"], "sort": ["merge", "sort"]}
+    top = bm25_topk_synonyms(idx, "merge", rules, k=10, quantize=False)
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def q_facet_lang(spark, sf_dir):
     # A2/Q5 facet count (reference: SolrAdminActions.java:252-265)
     return _docs(spark, sf_dir).groupBy("lang").agg(F.count("*").alias("cnt"))
@@ -456,6 +467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_conjunction": q_bm25_and,
         "bm25_offset_page": q_bm25_page2,
         "bm25_exclude_term": q_bm25_exclude,
+        "bm25_synonym_query": q_bm25_synonyms,
         "facet_lang": q_facet_lang,
         "facet_source": q_facet_source,
         "chunks_char": q_chunks,
@@ -581,6 +593,28 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_rare": _bm25_oracle(Q_RARE.split()),
         "bm25_offset_page": _bm25_oracle(Q_OR.split(), offset=5),
         "bm25_exclude_term": _bm25_oracle(Q_OR.split(), exclude=Q_RARE),
+        "bm25_synonym_query": f"""
+WITH {_TF}{_DL},
+grp AS (
+    SELECT doc_id, sum(tf)::BIGINT AS tfs FROM tf
+    WHERE term IN ('merge', 'sort') GROUP BY doc_id
+),
+dfmax AS (
+    SELECT max(c) AS m FROM (
+        SELECT count(*)::BIGINT AS c FROM tf
+        WHERE term IN ('merge', 'sort') GROUP BY term
+    )
+),
+scores AS (
+    SELECT grp.doc_id,
+           ln(1 + (s.n - dfmax.m + 0.5) / (dfmax.m + 0.5))
+             * grp.tfs / (grp.tfs + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl))
+             AS raw_score
+    FROM grp JOIN dl USING (doc_id)
+    CROSS JOIN stats s CROSS JOIN dfmax
+)
+SELECT doc_id, round(raw_score, 4) AS score
+FROM scores ORDER BY raw_score DESC, doc_id ASC LIMIT 10""",
         "bm25_conjunction": _bm25_oracle(Q_AND.split(), conjunction=True),
         "facet_lang": "SELECT lang, count(*)::BIGINT AS cnt FROM documents GROUP BY lang",
         "facet_source": "SELECT source, count(*)::BIGINT AS cnt FROM documents GROUP BY source",

@@ -1,0 +1,63 @@
+"""Query-time synonym expansion (Solr ``synonymGraph``).
+
+The reference's ``text_general`` QUERY chain applies
+``SynonymGraphFilter(synonyms.txt, expand=true)`` between the stop and
+lowercase filters (``semantic_base_config.zip -> managed-schema.xml:311``).
+The shipped file contains single-token rules only (comma equivalence
+groups and ``=>`` mappings); multi-token synonyms are out of scope and
+documented as such.
+
+Scoring follows Lucene's ``SynonymQuery`` (what Solr's query parser builds
+for single-token synonym expansions): all terms of a group score as ONE
+pseudo-term with ``df = max(df_member)`` and per-doc ``tf = sum(tf_member)``
+— not a disjunction of independently-weighted terms.
+"""
+
+from __future__ import annotations
+
+
+def parse_synonyms(text: str, ignore_case: bool = True) -> dict[str, list[str]]:
+    """Parse Solr synonyms.txt -> {token: [expansion tokens]}.
+
+    * ``a,b,c``      equivalence group; with expand=true each member maps
+                     to the whole group.
+    * ``a, b => x y`` explicit mapping: each LHS token maps to the RHS
+                     list (LHS itself NOT included unless listed on RHS).
+    """
+    rules: dict[str, list[str]] = {}
+
+    def norm(t: str) -> str:
+        t = t.strip()
+        return t.lower() if ignore_case else t
+
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        if "=>" in line:
+            lhs, rhs = line.split("=>", 1)
+            rhs_toks = [norm(t) for t in rhs.split(",") for t in t.split()]
+            rhs_toks = [t for t in rhs_toks if t]
+            for src in (norm(t) for t in lhs.split(",")):
+                if src:
+                    rules.setdefault(src, [])
+                    for t in rhs_toks:
+                        if t not in rules[src]:
+                            rules[src].append(t)
+        else:
+            group = [norm(t) for t in line.split(",")]
+            group = [t for t in group if t]
+            for src in group:
+                rules.setdefault(src, [])
+                for t in group:
+                    if t not in rules[src]:
+                        rules[src].append(t)
+    return rules
+
+
+def expand_terms(
+    terms: list[str], rules: dict[str, list[str]]
+) -> list[list[str]]:
+    """Analyzed query tokens -> one synonym GROUP (list of terms) per
+    original token position. Tokens without a rule stay singleton."""
+    return [list(rules.get(t, [t])) or [t] for t in terms]

@@ -150,6 +150,93 @@ def bm25_topk(
     return top.select("doc_id", "score")
 
 
+def bm25_topk_synonyms(
+    index: InvertedIndex,
+    query: str,
+    synonyms: dict[str, list[str]],
+    k: int = 10,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    quantize: bool = True,
+) -> DataFrame:
+    """OR-semantics BM25 with query-time synonym groups, scored with
+    Lucene ``SynonymQuery`` semantics: each original token position
+    becomes one pseudo-term whose ``df = max(df of members)`` and per-doc
+    ``tf = sum(tf of members)``. Returns (doc_id, score)."""
+    from ..functions.synonyms import expand_terms
+
+    spark = index.postings_flat.sparkSession
+    out_schema = "doc_id long, score double"
+    terms = analyze_query(query, index.profile)
+    if not terms or index.n_docs == 0:
+        return spark.createDataFrame([], out_schema)
+
+    groups = expand_terms(terms, synonyms)
+    members = sorted({m for g in groups for m in g})
+    dfs = {
+        r["term"]: r["df"]
+        for r in index.term_stats.filter(F.col("term").isin(members))
+        .select("term", "df")
+        .collect()
+    }
+    # one weight per original token position; duplicate positions keep
+    # multiplicity (Lucene builds one SHOULD clause per position)
+    group_rows = []  # (term, group_id)
+    weights = []     # (group_id, w)
+    gid = 0
+    for g in groups:
+        present = [m for m in g if m in dfs]
+        if not present:
+            continue
+        weights.append((gid, idf(max(dfs[m] for m in present), index.n_docs)))
+        for m in present:
+            group_rows.append((m, gid))
+        gid += 1
+    if not weights:
+        return spark.createDataFrame([], out_schema)
+
+    gdf = spark.createDataFrame(group_rows, "term string, gid int")
+    wdf = spark.createDataFrame(weights, "gid int, w double")
+    dl_col = "dl_quant" if quantize else "dl"
+    avgdl = index.avgdl
+
+    cand = index.postings_flat.filter(
+        F.col("term").isin(sorted({m for m, _ in group_rows}))
+    )
+    # per (doc, group): tf summed across members, THEN the BM25 saturation
+    per_group = (
+        cand.join(F.broadcast(gdf), "term")
+        .groupBy("doc_id", "gid", dl_col)
+        .agg(F.sum("tf").alias("tf_sum"))
+        .join(F.broadcast(wdf), "gid")
+        .select(
+            "doc_id",
+            "gid",
+            (
+                F.col("w")
+                * F.col("tf_sum")
+                / (
+                    F.col("tf_sum")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col(dl_col) / F.lit(avgdl))
+                )
+            ).alias("s"),
+        )
+    )
+    per_doc = per_group.groupBy("doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("gid", "s"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["s"],
+        ).alias("score")
+    )
+    return (
+        per_doc.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", "score")
+    )
+
+
 def bm25_conjunction_topk(
     index: InvertedIndex,
     query: str,

@@ -1,0 +1,93 @@
+"""Synonym parsing + SynonymQuery scoring semantics."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from solr_sematic_importer_spark.functions.synonyms import (
+    expand_terms,
+    parse_synonyms,
+)
+from solr_sematic_importer_spark.operators.build import build_index
+from solr_sematic_importer_spark.operators.score import (
+    bm25_topk,
+    bm25_topk_synonyms,
+)
+from solr_sematic_importer_spark.sources.transcripts import synthetic_transcripts
+
+REFERENCE_SYNONYMS = """
+# comment
+aaafoo => aaabar
+bbbfoo => bbbfoo bbbbar
+cccfoo => cccbar cccbaz
+fooaaa,baraaa,bazaaa
+GB,gib,gigabyte,gigabytes
+Television, Televisions, TV, TVs
+pixima => pixma
+"""
+
+
+def test_parse_reference_file():
+    r = parse_synonyms(REFERENCE_SYNONYMS)
+    assert r["aaafoo"] == ["aaabar"]                      # mapping, no self
+    assert r["bbbfoo"] == ["bbbfoo", "bbbbar"]            # self listed on RHS
+    assert r["cccfoo"] == ["cccbar", "cccbaz"]
+    assert set(r["fooaaa"]) == {"fooaaa", "baraaa", "bazaaa"}  # expand group
+    assert set(r["gb"]) == {"gb", "gib", "gigabyte", "gigabytes"}
+    assert r["tv"] == ["television", "televisions", "tv", "tvs"]
+    assert r["pixima"] == ["pixma"]
+
+
+def test_expand_terms():
+    r = parse_synonyms(REFERENCE_SYNONYMS)
+    assert expand_terms(["gb", "unknown"], r) == [
+        ["gb", "gib", "gigabyte", "gigabytes"],
+        ["unknown"],
+    ]
+
+
+@pytest.fixture(scope="module")
+def idx(spark):
+    return build_index(synthetic_transcripts(spark, 60), profile="text_general")
+
+
+def test_no_rules_equals_plain(idx):
+    plain = bm25_topk(idx, "zeppelin quartz", k=10).select("doc_id", "score").collect()
+    syn = bm25_topk_synonyms(idx, "zeppelin quartz", {}, k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in plain] == [
+        (r["doc_id"], r["score"]) for r in syn
+    ]
+
+
+def test_synonym_query_semantics(idx):
+    """df = max over members, tf summed: verified against a hand
+    computation on a single-group query."""
+    rules = {"zeppelin": ["zeppelin", "quartz"], "quartz": ["zeppelin", "quartz"]}
+    got = bm25_topk_synonyms(idx, "zeppelin", rules, k=20, quantize=False).collect()
+
+    stats = {
+        r["term"]: r["df"]
+        for r in idx.term_stats.filter(F.col("term").isin(["zeppelin", "quartz"])).collect()
+    }
+    dfmax = max(stats.values())
+    w = math.log(1 + (idx.n_docs - dfmax + 0.5) / (dfmax + 0.5))
+    rows = (
+        idx.postings_flat.filter(F.col("term").isin(["zeppelin", "quartz"]))
+        .groupBy("doc_id", "dl")
+        .agg(F.sum("tf").alias("tfs"))
+        .collect()
+    )
+    want = sorted(
+        (
+            (
+                r["doc_id"],
+                w * r["tfs"] / (r["tfs"] + 1.2 * (0.25 + 0.75 * r["dl"] / idx.avgdl)),
+            )
+            for r in rows
+        ),
+        key=lambda x: (-x[1], x[0]),
+    )[:20]
+    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert r["score"] == pytest.approx(s, abs=1e-9)
