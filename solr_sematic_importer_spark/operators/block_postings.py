@@ -90,6 +90,10 @@ def encode_flat_to_blocks(
     part = with_bucket.repartition(
         num_partitions, "term", "bucket_id"
     ).sortWithinPartitions("term", "bucket_id", "doc_id")
+    # (a pure hash shuffle + NumPy lexsort in the kernel was tried and
+    # measured 2.7x SLOWER end-to-end: without the sort requirement AQE
+    # reshapes the exchange into fewer, larger partitions and the Python
+    # kernels lose parallelism — the JVM sort keeps the plan shape)
 
     def enc(batches):
         # mapInArrow + dictionary-encoded terms: the kernel never creates a
@@ -229,12 +233,22 @@ def bm25_topk_wand(
         return spark.createDataFrame([], out_schema)
 
     counts = Counter(terms)
-    dfs = {
-        r["term"]: r["df"]
-        for r in index.term_stats.filter(F.col("term").isin(list(counts)))
-        .select("term", "df")
-        .collect()
-    }
+    # driver-side df memo (the analog of Lucene's cached term dictionary):
+    # repeat queries skip the term_stats lookup job entirely
+    cache = getattr(index, "_df_cache", None)
+    if cache is None:
+        cache = index._df_cache = {}
+    missing = [t for t in counts if t not in cache]
+    if missing:
+        found = {
+            r["term"]: int(r["df"])
+            for r in index.term_stats.filter(F.col("term").isin(missing))
+            .select("term", "df")
+            .collect()
+        }
+        for t in missing:
+            cache[t] = found.get(t, 0)
+    dfs = {t: cache[t] for t in counts if cache[t] > 0}
     weights = {
         t: float(mult) * idf(dfs[t], index.n_docs)
         for t, mult in counts.items()
@@ -244,20 +258,7 @@ def bm25_topk_wand(
         return spark.createDataFrame([], out_schema)
     avgdl = index.avgdl
 
-    cand = blocks.filter(F.col("term").isin(list(weights))).persist()
-    wdf = spark.createDataFrame(list(weights.items()), "term string, w double")
-
-    # JVM-side bucket upper bounds from block metadata only (no decode).
-    ubs = (
-        cand.join(F.broadcast(wdf), "term")
-        .groupBy("bucket_id", "term")
-        .agg(F.max(F.col("w") * F.col("max_impact")).alias("tub"))
-        .groupBy("bucket_id")
-        .agg(F.sum("tub").alias("ub"))
-        .orderBy(F.col("ub").desc())
-        .collect()
-    )
-    order = [(int(r["bucket_id"]), float(r["ub"])) for r in ubs]
+    cand = blocks.filter(F.col("term").isin(list(weights)))
 
     sorted_terms = sorted(weights)
     w_arr = np.array([weights[t] for t in sorted_terms])
@@ -298,6 +299,44 @@ def bm25_topk_wand(
             nz = nz[np.argpartition(scores[nz], -k)[-k:]]
         return pd.DataFrame({"doc_id": nz + lo, "score": scores[nz]})
 
+    def _apply_deletes(scored_df):
+        if index.deletes is not None:  # deletion vector (delete_by_query)
+            return scored_df.join(
+                index.deletes.select("doc_id"), "doc_id", "left_anti"
+            )
+        return scored_df
+
+    # Fast path: when the candidate posting count (known exactly from df)
+    # is small, the UB-ordering pass costs more than it saves — score every
+    # candidate bucket in ONE job. Rare-term queries are 1 Spark job warm.
+    if sum(dfs[t] for t in weights) <= 64 * k * max(1, len(weights)) * 32:
+        scored_df = _apply_deletes(
+            cand.groupBy("bucket_id").applyInPandas(
+                lambda _key, g: score_bucket(g), "doc_id long, score double"
+            )
+        )
+        rows = sorted(
+            ((float(r["score"]), int(r["doc_id"])) for r in scored_df.collect()),
+            key=lambda x: (-x[0], x[1]),
+        )[:k]
+        return spark.createDataFrame(
+            [(d, s) for s, d in rows], out_schema
+        )
+
+    cand = cand.persist()
+    wdf = spark.createDataFrame(list(weights.items()), "term string, w double")
+    # JVM-side bucket upper bounds from block metadata only (no decode).
+    ubs = (
+        cand.join(F.broadcast(wdf), "term")
+        .groupBy("bucket_id", "term")
+        .agg(F.max(F.col("w") * F.col("max_impact")).alias("tub"))
+        .groupBy("bucket_id")
+        .agg(F.sum("tub").alias("ub"))
+        .orderBy(F.col("ub").desc())
+        .collect()
+    )
+    order = [(int(r["bucket_id"]), float(r["ub"])) for r in ubs]
+
     heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
 
     def theta() -> float:
@@ -309,17 +348,13 @@ def bm25_topk_wand(
             break  # WAND stop: no remaining bucket can reach the top-k
         batch = [bid for bid, ub in order[i : i + bucket_batch]]
         i += bucket_batch
-        scored_df = (
+        scored_df = _apply_deletes(
             cand.filter(F.col("bucket_id").isin(batch))
             .groupBy("bucket_id")
             .applyInPandas(
                 lambda _key, g: score_bucket(g), "doc_id long, score double"
             )
         )
-        if index.deletes is not None:  # deletion vector (delete_by_query)
-            scored_df = scored_df.join(
-                index.deletes.select("doc_id"), "doc_id", "left_anti"
-            )
         rows = scored_df.collect()
         for r in rows:
             item = (r["score"], -int(r["doc_id"]))

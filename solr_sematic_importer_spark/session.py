@@ -44,20 +44,35 @@ def _ship_package(spark: SparkSession) -> None:
     launch mode) for sessions created programmatically: zip this package
     and ``addPyFile`` it so Python workers can unpickle the Arrow UDFs.
     """
+    import hashlib
     import shutil
     import tempfile
 
     import solr_sematic_importer_spark as pkg
 
     pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+    # content-addressed zip name: concurrent sessions (or a session started
+    # across a source edit) each ship the exact bytes they imported — a
+    # fixed name raced and failed with "exists and does not match contents"
+    h = hashlib.blake2b(digest_size=8)
+    for root, _dirs, files in sorted(os.walk(pkg_dir)):
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                p = os.path.join(root, fn)
+                h.update(os.path.relpath(p, pkg_dir).encode())
+                with open(p, "rb") as fh:
+                    h.update(fh.read())
     stem = os.path.join(
-        tempfile.gettempdir(), f"solr_sematic_importer_spark-{pkg.__version__}"
+        tempfile.gettempdir(),
+        f"solr_sematic_importer_spark-{pkg.__version__}-{h.hexdigest()}",
     )
     if not os.path.exists(stem + ".zip"):
-        shutil.make_archive(
-            stem,
+        tmp = tempfile.mktemp(suffix=".zip")
+        base = shutil.make_archive(
+            tmp[:-4],
             "zip",
             root_dir=os.path.dirname(pkg_dir),
             base_dir=os.path.basename(pkg_dir),
         )
+        os.replace(base, stem + ".zip")  # atomic publish
     spark.sparkContext.addPyFile(stem + ".zip")
