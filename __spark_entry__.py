@@ -193,6 +193,20 @@ def q_chunk_parent_join(spark, sf_dir):
     return joined.select("id", "parent_id", "chunk_number", "lang")
 
 
+def q_chunk_stats(spark, sf_dir):
+    # A7 chunks-per-document stats (dto/IndexingStatus.java:44-47,69)
+    from solr_sematic_importer_spark.operators.chunking import char_chunks
+
+    ch = char_chunks(_docs(spark, sf_dir), size=120, overlap=20)
+    per_doc = ch.groupBy("parent_id").agg(F.count("*").alias("n_chunks"))
+    return per_doc.agg(
+        F.count("*").alias("docs_chunked"),
+        F.sum("n_chunks").alias("chunks_total"),
+        F.round(F.avg("n_chunks"), 4).alias("chunks_per_doc"),
+        F.max("n_chunks").alias("max_chunks"),
+    )
+
+
 def q_orphan_anti_join(spark, sf_dir):
     # J3 orphan-delete anti-join shape (SolrAdminActions.java:268)
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -472,6 +486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_source": q_facet_source,
         "chunks_char": q_chunks,
         "chunk_parent_join": q_chunk_parent_join,
+        "chunk_stats": q_chunk_stats,
         "orphan_anti_join": q_orphan_anti_join,
         "window_first_event": q_window_first_event,
         "top_terms_by_df": q_top_terms,
@@ -632,6 +647,17 @@ FROM scores ORDER BY raw_score DESC, doc_id ASC LIMIT 10""",
                    substr(text, chunk_number * 100 + 1, 120) AS chunk,
                    chunk_number::INT AS chunk_number
             FROM c""",
+        "chunk_stats": """
+            WITH n AS (
+                SELECT doc_id,
+                       greatest(1, ceil((length(text) - 20) / 100.0))::BIGINT AS n_chunks
+                FROM documents
+            )
+            SELECT count(*)::BIGINT AS docs_chunked,
+                   sum(n_chunks)::BIGINT AS chunks_total,
+                   round(avg(n_chunks), 4) AS chunks_per_doc,
+                   max(n_chunks) AS max_chunks
+            FROM n""",
         "chunk_parent_join": """
             WITH n AS (
                 SELECT doc_id, text,

@@ -45,6 +45,10 @@ def _sf_from_dir(sf_dir: str) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # shuffle/scratch on tmpfs: the sandbox block device is burst-throttled
+    # (42-372 MB/s between runs) and would dominate the measurement
+    if os.path.isdir("/dev/shm"):
+        os.environ.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/spark-local")
     sf = _sf_from_dir(sf_dir)
     # transcript corpus scaled by sf: sf0.1 -> 20k conversations (~340k turns)
     n_convs = max(1000, int(200_000 * sf))

@@ -8,12 +8,16 @@ training-data-pipeline operators (dedup, similarity search, text analysis)
 a 100 TB corpus needs.
 
 Layout:
-  functions/  analyzer chains, Porter stemmer, Lucene BM25 + SmallFloat math
-  operators/  docid assignment, index build, posting codec, scoring, dedup,
-              similarity, text stats
-  sources/    synthetic transcript generator + table readers
-  plans/      lineage manifest / resume
-  streaming/  incremental build hooks
+  functions/  analyzer chains, Porter stemmer, synonyms, posting codec,
+              Lucene BM25 + SmallFloat math
+  operators/  docid assignment, index build (in-memory + single-shuffle
+              disk build), block postings + block-max WAND, scoring,
+              segments/manifest/compaction, enrichment, flatten, chunking,
+              dedup, similarity search (brute/LSH/IVF), text stats,
+              multimodal plumbing
+  sources/    synthetic transcript generator, TSV/JSON/Solr-envelope readers
+  plans/      physical-plan introspection (pushdown/pruning assertions)
+  streaming/  incremental (segment-per-micro-batch) build
 """
 
 __version__ = "0.1.0"

@@ -279,3 +279,24 @@ def compact(
     ).parquet(_manifest_path(path))
     overlap.unpersist()
     return out_dir
+
+
+def gc_segments(spark: SparkSession, path: str) -> list[str]:
+    """Remove segment directories no longer referenced by the manifest
+    (compact leaves the source segments on disk as orphans — the
+    reference's disabled orphan delete, ``SolrSemanticIndexer.java:113``,
+    made explicit). Returns the removed paths. On Iceberg this is snapshot
+    expiration; here it is a local-filesystem sweep."""
+    import os
+    import shutil
+
+    man = read_manifest(spark, path)
+    live = {os.path.basename(d.rstrip("/")) for d in man["segment_dir"]}
+    seg_root = os.path.join(path, "segments")
+    removed = []
+    if os.path.isdir(seg_root):
+        for name in sorted(os.listdir(seg_root)):
+            if name not in live:
+                shutil.rmtree(os.path.join(seg_root, name), ignore_errors=True)
+                removed.append(os.path.join(seg_root, name))
+    return removed

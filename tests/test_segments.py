@@ -122,3 +122,22 @@ def test_compact_preserves_results(spark, seg_path):
         assert [d for d, _ in after] == [d for d, _ in before[q]], q
         for (_, sa), (_, sb) in zip(after, before[q]):
             assert sa == pytest.approx(sb, abs=1e-12)
+
+
+def test_gc_removes_orphan_segment_dirs(spark, seg_path):
+    # runs AFTER test_compact_preserves_results (definition order): the
+    # manifest now references only the compacted segment; lo/mid/hi dirs
+    # are orphans
+    import os
+
+    from solr_sematic_importer_spark.operators.segments import gc_segments
+
+    path, _, _, _ = seg_path
+    removed = gc_segments(spark, path)
+    assert removed  # the three pre-compaction segment dirs
+    live = {os.path.basename(d) for d in read_manifest(spark, path)["segment_dir"]}
+    on_disk = set(os.listdir(os.path.join(path, "segments")))
+    assert on_disk == live
+    assert gc_segments(spark, path) == []  # idempotent
+    idx = read_segmented_index(spark, path)
+    assert bm25_topk(idx, QUERIES[0], k=5).count() > 0
