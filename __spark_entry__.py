@@ -238,10 +238,22 @@ def q_top_terms(spark, sf_dir):
     )
 
 
+def _docs_with_dups(spark, sf_dir) -> DataFrame:
+    """documents plus a re-ingested copy of doc_id < 20 under remapped ids —
+    the reference's re-index-twice idempotency shape
+    (SolrIndexerIntegrationTest.java:61-82). Guarantees the dedup operators
+    compare NON-empty result sets at sf0.01 (the raw table has no dups)."""
+    docs = _docs(spark, sf_dir)
+    dup = docs.filter(F.col("doc_id") < 20).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    return docs.unionByName(dup)
+
+
 def q_content_hash_groups(spark, sf_dir):
     from solr_sematic_importer_spark.operators.dedup import normalized_duplicates
 
-    d = normalized_duplicates(_docs(spark, sf_dir))
+    d = normalized_duplicates(_docs_with_dups(spark, sf_dir))
     return d.select("text_hash", "dup_count", "keep_id")
 
 
@@ -279,7 +291,10 @@ def q_ngram_jaccard(spark, sf_dir):
     from solr_sematic_importer_spark.operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        _docs(spark, sf_dir), n=3, threshold=0.05, id_filter=F.col("doc_id") < 40
+        _docs_with_dups(spark, sf_dir),
+        n=3,
+        threshold=0.05,
+        id_filter=(F.col("doc_id") < 40) | (F.col("doc_id") >= 1_000_000),
     )
 
 
@@ -440,14 +455,54 @@ def q_ann_lsh(spark, sf_dir):
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing (rows-only): binary payload + typed metadata ->
     Arrow-batched mapInPandas feature extraction (decode kernel is a
-    deterministic stub; the Spark dataflow is real)."""
+    deterministic stub; the Spark dataflow is real). The vector is exploded
+    to (media_id, dim, value) rows — scalar columns the driver's
+    canonicalizer can hash (array columns are not hashable)."""
     from solr_sematic_importer_spark.operators.multimodal import (
         extract_features,
         synthetic_media,
     )
 
     _prepare(spark)
-    return extract_features(synthetic_media(spark, 120))
+    feats = extract_features(synthetic_media(spark, 120))
+    return feats.select(
+        "media_id", F.posexplode("feature").alias("dim", "value")
+    ).select("media_id", "dim", F.round("value", 6).alias("value"))
+
+
+def q_delete_reload(spark, sf_dir):
+    """Q6 durable delete-by-query (SolrAdminActions.java:268 + commit
+    :235-246): delete the query's top-3 docs, WRITE the index, RELOAD it,
+    re-query. Deleted docs must stay dead across the restart (the deletion
+    vector is persisted like Lucene's .liv file). Full oracle: Lucene
+    semantics keep N/avgdl/df counting deleted docs until a merge, so the
+    oracle is the same BM25 ranking minus the victims."""
+    import tempfile
+
+    from solr_sematic_importer_spark.operators.build import (
+        build_index,
+        delete_by_query,
+        read_index,
+        write_index,
+    )
+    from solr_sematic_importer_spark.operators.score import bm25_topk
+
+    _prepare(spark)
+    # fresh build (NOT the shared _doc_index cache — we mutate deletes)
+    idx = build_index(
+        _docs(spark, sf_dir), text_col="text", key_cols=("doc_id",),
+        profile="simple", doc_id_col="doc_id",
+    )
+    victims = [
+        r["doc_id"]
+        for r in bm25_topk(idx, Q_OR, k=3, quantize=False).select("doc_id").collect()
+    ]
+    delete_by_query(idx, F.col("doc_id").isin(victims))
+    path = tempfile.mkdtemp(prefix="delidx_")
+    write_index(idx, path)
+    re = read_index(spark, path)
+    top = bm25_topk(re, Q_OR, k=10, quantize=False)
+    return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
 def q_media_frames(spark, sf_dir):
@@ -501,6 +556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truncate_field": q_truncate,
         "solr_date_format": q_solr_dates,
         "flatten_nested": q_flatten_nested,
+        "delete_reload_query": q_delete_reload,
         "media_features": q_media_features,
         "media_frame_sample": q_media_frames,
         "media_stats_by_kind": q_media_stats,
@@ -545,12 +601,22 @@ def _bm25_oracle(
     offset: int = 0,
     exclude: str | None = None,
     k: int = 10,
+    delete_top: int = 0,
 ) -> str:
     terms_sql = ", ".join(f"'{t}'" for t in terms)
     having = f"HAVING count(*) = {len(set(terms))}" if conjunction else ""
     not_in = (
         f"WHERE tf.doc_id NOT IN (SELECT doc_id FROM tf WHERE term = '{exclude}')"
         if exclude
+        else ""
+    )
+    # delete_top: durable delete-by-query of the query's own top-N — Lucene
+    # keeps N/avgdl/df counting deleted docs until a merge, so scores are
+    # unchanged and the victims are simply filtered out of the ranking
+    del_where = (
+        f"""WHERE doc_id NOT IN (
+        SELECT doc_id FROM scores ORDER BY raw_score DESC, doc_id ASC LIMIT {delete_top})"""
+        if delete_top
         else ""
     )
     return f"""
@@ -574,7 +640,7 @@ scores AS (
     {having}
 )
 SELECT doc_id, round(raw_score, 4) AS score
-FROM scores ORDER BY raw_score DESC, doc_id ASC LIMIT {k} OFFSET {offset}
+FROM scores {del_where} ORDER BY raw_score DESC, doc_id ASC LIMIT {k} OFFSET {offset}
 """
 
 
@@ -608,6 +674,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_rare": _bm25_oracle(Q_RARE.split()),
         "bm25_offset_page": _bm25_oracle(Q_OR.split(), offset=5),
         "bm25_exclude_term": _bm25_oracle(Q_OR.split(), exclude=Q_RARE),
+        "delete_reload_query": _bm25_oracle(Q_OR.split(), delete_top=3),
         "bm25_synonym_query": f"""
 WITH {_TF}{_DL},
 grp AS (
@@ -684,10 +751,15 @@ FROM scores ORDER BY raw_score DESC, doc_id ASC LIMIT 10""",
             SELECT term, count(*)::BIGINT AS df FROM tf
             GROUP BY term ORDER BY df DESC, term ASC LIMIT 15""",
         "content_hash_groups": """
-            WITH h AS (
+            WITH docs2 AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 20
+            ),
+            h AS (
                 SELECT doc_id,
                        md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS text_hash
-                FROM documents
+                FROM docs2
             )
             SELECT text_hash, count(*)::BIGINT AS dup_count, min(doc_id) AS keep_id
             FROM h GROUP BY text_hash HAVING count(*) > 1""",
@@ -729,11 +801,16 @@ FROM scores ORDER BY raw_score DESC, doc_id ASC LIMIT 10""",
                           + t.nd::DOUBLE / greatest(t.n, 1)) / 3.0, 4) AS quality
             FROM documents d JOIN t ON d.doc_id = t.doc_id""",
         "ngram_jaccard": """
-            WITH toks AS (
+            WITH docs2 AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 20
+            ),
+            toks AS (
                 SELECT doc_id,
                        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                                    x -> x <> '') AS ts
-                FROM documents WHERE doc_id < 40
+                FROM docs2 WHERE doc_id < 40 OR doc_id >= 1000000
             ),
             sh AS (
                 SELECT DISTINCT doc_id,

@@ -261,7 +261,20 @@ def bm25_topk_wand(
     cand = blocks.filter(F.col("term").isin(list(weights)))
 
     sorted_terms = sorted(weights)
-    w_arr = np.array([weights[t] for t in sorted_terms])
+
+    # Deletion vector as a broadcast sorted array — the analog of Lucene's
+    # in-memory live-docs bitset. Deleted docs are zeroed INSIDE the bucket
+    # scorer, BEFORE its per-bucket top-k cut: an anti-join after the cut
+    # would silently drop live docs ranked just below deleted ones.
+    del_bc = None
+    if index.deletes is not None:
+        del_arr = np.sort(
+            np.fromiter(
+                (r["doc_id"] for r in index.deletes.select("doc_id").collect()),
+                dtype=np.int64,
+            )
+        )
+        del_bc = spark.sparkContext.broadcast(del_arr)
 
     def score_bucket(grp: pd.DataFrame) -> pd.DataFrame:
         # applyInPandas: ONE complete bucket per call (a mapInPandas batch
@@ -294,26 +307,22 @@ def bm25_topk_wand(
             scores[docs - lo] += weights[t] * tfs / (
                 tfs + k1 * (1.0 - b + b * dlq / avgdl)
             )
+        if del_bc is not None:
+            da = del_bc.value
+            hit = da[np.searchsorted(da, lo): np.searchsorted(da, hi, side="right")]
+            if hit.size:
+                scores[hit - lo] = 0.0
         nz = np.flatnonzero(scores)
         if nz.size > k:
             nz = nz[np.argpartition(scores[nz], -k)[-k:]]
         return pd.DataFrame({"doc_id": nz + lo, "score": scores[nz]})
 
-    def _apply_deletes(scored_df):
-        if index.deletes is not None:  # deletion vector (delete_by_query)
-            return scored_df.join(
-                index.deletes.select("doc_id"), "doc_id", "left_anti"
-            )
-        return scored_df
-
     # Fast path: when the candidate posting count (known exactly from df)
     # is small, the UB-ordering pass costs more than it saves — score every
     # candidate bucket in ONE job. Rare-term queries are 1 Spark job warm.
     if sum(dfs[t] for t in weights) <= 64 * k * max(1, len(weights)) * 32:
-        scored_df = _apply_deletes(
-            cand.groupBy("bucket_id").applyInPandas(
-                lambda _key, g: score_bucket(g), "doc_id long, score double"
-            )
+        scored_df = cand.groupBy("bucket_id").applyInPandas(
+            lambda _key, g: score_bucket(g), "doc_id long, score double"
         )
         rows = sorted(
             ((float(r["score"]), int(r["doc_id"])) for r in scored_df.collect()),
@@ -326,42 +335,62 @@ def bm25_topk_wand(
     cand = cand.persist()
     wdf = spark.createDataFrame(list(weights.items()), "term string, w double")
     # JVM-side bucket upper bounds from block metadata only (no decode).
-    ubs = (
+    # Kept DISTRIBUTED: at the 10^12-doc design point this table is ~6e7
+    # rows per query — collecting it whole would be a driver scale-killer.
+    # Each round fetches only the next `bucket_batch` bounds via
+    # orderBy(ub desc).limit(batch) (TakeOrderedAndProject: per-partition
+    # heap + driver merge of <= batch rows) with the WAND threshold pushed
+    # into the scan as a `ub > theta` filter, and a (ub, bucket_id) cursor
+    # excluding already-scored buckets.
+    ub_df = (
         cand.join(F.broadcast(wdf), "term")
         .groupBy("bucket_id", "term")
         .agg(F.max(F.col("w") * F.col("max_impact")).alias("tub"))
         .groupBy("bucket_id")
         .agg(F.sum("tub").alias("ub"))
-        .orderBy(F.col("ub").desc())
-        .collect()
+        .persist()
     )
-    order = [(int(r["bucket_id"]), float(r["ub"])) for r in ubs]
 
     heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
 
     def theta() -> float:
         return heap[0][0] if len(heap) >= k else float("-inf")
 
-    i = 0
-    while i < len(order):
-        if order[i][1] < theta():
+    cursor: tuple[float, int] | None = None  # (ub, bucket_id) of last taken
+    while True:
+        nxt = ub_df
+        if cursor is not None:
+            last_ub, last_bid = cursor
+            nxt = nxt.filter(
+                (F.col("ub") < last_ub)
+                | ((F.col("ub") == last_ub) & (F.col("bucket_id") > last_bid))
+            )
+        th = theta()
+        if th > float("-inf"):
+            nxt = nxt.filter(F.col("ub") > th)  # WAND prune, pushed down
+        batch_rows = (
+            nxt.orderBy(F.col("ub").desc(), F.col("bucket_id").asc())
+            .limit(bucket_batch)
+            .collect()
+        )
+        if not batch_rows:
             break  # WAND stop: no remaining bucket can reach the top-k
-        batch = [bid for bid, ub in order[i : i + bucket_batch]]
-        i += bucket_batch
-        scored_df = _apply_deletes(
+        batch = [int(r["bucket_id"]) for r in batch_rows]
+        cursor = (float(batch_rows[-1]["ub"]), batch[-1])
+        scored_df = (
             cand.filter(F.col("bucket_id").isin(batch))
             .groupBy("bucket_id")
             .applyInPandas(
                 lambda _key, g: score_bucket(g), "doc_id long, score double"
             )
         )
-        rows = scored_df.collect()
-        for r in rows:
+        for r in scored_df.collect():
             item = (r["score"], -int(r["doc_id"]))
             if len(heap) < k:
                 heapq.heappush(heap, item)
             elif item > heap[0]:
                 heapq.heapreplace(heap, item)
+    ub_df.unpersist()
     cand.unpersist()
 
     result = sorted(((s, -nd) for s, nd in heap), key=lambda x: (-x[0], x[1]))

@@ -110,7 +110,11 @@ def _stamp_and_analyze(
             out["terms"], out["tfs"], out["dl"] = tf_series(b[text_col], profile)
             yield pd.DataFrame(out)
 
-    return ordered.mapInPandas(stamp_analyze, schema=out_schema)
+    result = ordered.mapInPandas(stamp_analyze, schema=out_schema)
+    # expose the persisted parent so builders can unpersist it once the
+    # analyzed output is materialized (its only consumer)
+    result._ordered_src = ordered
+    return result
 
 
 def _analyze_with_ids(
@@ -157,11 +161,29 @@ class InvertedIndex:
     key_cols: Sequence[str] = field(default_factory=tuple)
     postings_blocks: DataFrame | None = None   # codec.py output (scale path)
     deletes: DataFrame | None = None           # deletion vector (doc_id rows)
+    _caches: list = field(default_factory=list, repr=False, compare=False)
 
     @property
     def avgdl(self) -> float:
         # Lucene: sumTotalTermFreq / docCount as double division of exact longs
         return self.sum_dl / self.n_docs if self.n_docs else 0.0
+
+    def release(self) -> None:
+        """Unpersist every DataFrame this index pinned. Callers that build
+        many indexes in one session (streaming micro-batches, segment
+        appends) MUST call this after the index is written, or cached RDDs
+        accumulate unboundedly across batches."""
+        for df in self._caches:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        self._caches.clear()
+        if self.deletes is not None:
+            try:
+                self.deletes.unpersist()
+            except Exception:
+                pass
 
 
 def build_index(
@@ -186,6 +208,7 @@ def build_index(
         analyzed = _stamp_and_analyze(df, text_col, key_cols, profile, doc_id_offset)
     else:
         analyzed = _analyze_with_ids(df, text_col, key_cols, doc_id_col, profile)
+    ordered_src = getattr(analyzed, "_ordered_src", None)
     analyzed = analyzed.withColumn("dl_quant", quantize_dl_col(F.col("dl")))
     analyzed.persist(CACHE_LEVEL)
 
@@ -220,6 +243,10 @@ def build_index(
     stats = analyzed.agg(
         F.count("*").alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("s")
     ).first()
+    # `analyzed` is now materialized in the cache; its ordering-pass parent
+    # is no longer needed
+    if ordered_src is not None:
+        ordered_src.unpersist()
 
     return InvertedIndex(
         doc_stats=doc_stats,
@@ -229,6 +256,7 @@ def build_index(
         sum_dl=int(stats["s"]),
         profile=profile,
         key_cols=tuple(key_cols),
+        _caches=[analyzed, postings_flat, term_stats],
     )
 
 
@@ -289,10 +317,13 @@ def build_and_write_index(
         analyzed = _stamp_and_analyze(df, text_col, key_cols, profile, doc_id_offset)
     else:
         analyzed = _analyze_with_ids(df, text_col, key_cols, doc_id_col, profile)
+    ordered_src = getattr(analyzed, "_ordered_src", None)
     analyzed = analyzed.withColumn("dl_quant", quantize_dl_col(F.col("dl")))
     analyzed.persist(CACHE_LEVEL)
 
     analyzed.drop("terms", "tfs").write.mode("overwrite").parquet(f"{path}/doc_stats")
+    if ordered_src is not None:  # analyzed is materialized by the write
+        ordered_src.unpersist()
     doc_stats = spark.read.parquet(f"{path}/doc_stats")
     stats = doc_stats.agg(
         F.count("*").alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("s")
@@ -346,6 +377,12 @@ def write_index(index: InvertedIndex, path: str) -> None:
     index.doc_stats.write.mode("overwrite").parquet(f"{path}/doc_stats")
     index.postings_flat.write.mode("overwrite").parquet(f"{path}/postings_flat")
     index.term_stats.write.mode("overwrite").parquet(f"{path}/term_stats")
+    if index.deletes is not None:
+        # durable deletion vector (Lucene .liv analog): reload must not
+        # resurrect deleted docs
+        index.deletes.select("doc_id").coalesce(1).write.mode("overwrite").parquet(
+            f"{path}/deletes"
+        )
     if index.postings_blocks is not None:
         from .block_postings import write_blocks
 
@@ -368,6 +405,10 @@ def read_index(spark: SparkSession, path: str) -> InvertedIndex:
         blocks = spark.read.parquet(f"{path}/postings_blocks")
     except Exception:
         blocks = None
+    try:
+        deletes = spark.read.parquet(f"{path}/deletes").select("doc_id").distinct()
+    except Exception:
+        deletes = None
     doc_stats = spark.read.parquet(f"{path}/doc_stats")
     try:
         postings_flat = spark.read.parquet(f"{path}/postings_flat")
@@ -390,4 +431,5 @@ def read_index(spark: SparkSession, path: str) -> InvertedIndex:
         sum_dl=int(meta["sum_dl"]),
         profile=meta["profile"],
         key_cols=tuple(meta["key_cols"].split(",")) if meta["key_cols"] else (),
+        deletes=deletes,
     )

@@ -98,13 +98,18 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 16,
     max_bucket: int = 1000,
-) -> DataFrame:
+    with_dropped: bool = False,
+):
     """Banded LSH: equal band-slices -> same bucket -> candidate pair.
 
     Self-equi-join on (band, bucket_hash); buckets larger than
-    ``max_bucket`` are dropped (and should be logged) — a mega-bucket is
-    degenerate content and would quadratically blow up the join at scale.
-    Returns distinct (doc_a, doc_b) with doc_a < doc_b.
+    ``max_bucket`` are dropped — a mega-bucket is degenerate content and
+    would quadratically blow up the join at scale. The drop is SURFACED,
+    not silent: pass ``with_dropped=True`` to get ``(pairs,
+    dropped_buckets)`` where the second DataFrame is one row per dropped
+    (band, bucket, size) — route it to a quarantine table at scale so
+    truncated coverage is auditable. Pairs are distinct (doc_a, doc_b)
+    with doc_a < doc_b.
     """
     sig = signatures
     rows_per_band = F.floor(F.size("signature") / bands).cast("int")
@@ -122,10 +127,13 @@ def lsh_candidate_pairs(
     # prune degenerate buckets before the self-join
     sizes = banded.groupBy("band", "bucket").count()
     ok = sizes.filter((F.col("count") > 1) & (F.col("count") <= max_bucket)).select("band", "bucket")
+    dropped = sizes.filter(F.col("count") > max_bucket).select(
+        "band", "bucket", F.col("count").alias("size")
+    )
     pruned = banded.join(ok, ["band", "bucket"], "left_semi")
     a = pruned.alias("a")
     b = pruned.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -135,6 +143,7 @@ def lsh_candidate_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    return (pairs, dropped) if with_dropped else pairs
 
 
 def ngram_jaccard_pairs(
@@ -195,9 +204,55 @@ def simhash(tf_df: DataFrame, bits: int = 64) -> DataFrame:
     summed = partials.groupBy("doc_id").agg(
         *[F.sum(f"b{i}").alias(f"b{i}") for i in range(bits)]
     )
+    # assemble the fingerprint with shiftleft/bitwiseOR: bit ops wrap
+    # (well-defined two's complement) where `acc * 2 + x` overflows signed
+    # long under ANSI mode as soon as bit 63 is set
     fp = F.aggregate(
         F.array(*[F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0)) for i in range(bits)]),
         F.lit(0).cast("long"),
-        lambda acc, x: acc * 2 + x,
+        lambda acc, x: F.shiftleft(acc, 1).bitwiseOR(x.cast("long")),
     )
     return summed.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_hamming_pairs(
+    fps: DataFrame, band_bits: int = 16, max_distance: int = 8
+) -> DataFrame:
+    """Near-dup candidates from simhash fingerprints, scale-shaped: docs
+    sharing any of the 64/band_bits fingerprint bands are candidate pairs
+    (a pair within Hamming distance 64/band_bits - 1 of band count shares
+    >=1 band by pigeonhole); exact Hamming distance is then computed
+    JVM-side (bit_count of xor) and filtered. No all-pairs join."""
+    nbands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    banded = fps.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), i * band_bits)
+                    .bitwiseAND(F.lit(mask))
+                    for i in range(nbands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_distance)
+    )

@@ -230,6 +230,8 @@ def bm25_topk_synonyms(
             lambda acc, x: acc + x["s"],
         ).alias("score")
     )
+    if index.deletes is not None:  # same deletion-vector mask as bm25_topk
+        per_doc = per_doc.join(index.deletes.select("doc_id"), "doc_id", "left_anti")
     return (
         per_doc.orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)

@@ -38,6 +38,7 @@ import time
 from dataclasses import dataclass
 
 import pandas as pd
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.similarity import B_DEFAULT, K1_DEFAULT
@@ -66,12 +67,29 @@ def read_manifest(spark: SparkSession, path: str) -> pd.DataFrame:
             .orderBy("doc_id_offset")
             .toPandas()
         )
-    except Exception:
-        import pandas as pd  # noqa: F811
+    except AnalysisException as e:
+        # ONLY path-missing means "fresh index". A corrupt/transient read
+        # must propagate: treating it as empty would restart doc_id_offset
+        # at 0 and append overlapping ids — silent index corruption.
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return pd.DataFrame(
+                columns=[f.split()[0] for f in MANIFEST_SCHEMA.split(", ")]
+            )
+        raise
 
-        return pd.DataFrame(
-            columns=[f.split()[0] for f in MANIFEST_SCHEMA.split(", ")]
+
+def _require_uniform_bucket_bits(man: pd.DataFrame, op: str) -> int:
+    """bucket_id = doc_id >> bucket_bits is only coherent across segments
+    that agree on bucket_bits; merging mixed widths silently mis-groups
+    postings and corrupts WAND bounds."""
+    vals = man["bucket_bits"].unique()
+    if len(vals) != 1:
+        raise ValueError(
+            f"{op}: segments were built with differing bucket_bits "
+            f"{sorted(int(v) for v in vals)}; rebuild or compact per width"
         )
+    return int(vals[0])
 
 
 def _content_checksum(df: DataFrame, key_cols, text_col) -> int:
@@ -139,7 +157,34 @@ def append_segment(
     spark.createDataFrame(row, MANIFEST_SCHEMA).coalesce(1).write.mode(
         "append"
     ).parquet(_manifest_path(path))
+    # segment is durable: release the per-build caches so long-running
+    # sessions (streaming micro-batches) don't accumulate pinned RDDs
+    idx.release()
     return AppendResult(segment_key, False, idx.n_docs, offset)
+
+
+def _deletes_path(path: str) -> str:
+    return f"{path}/deletes"
+
+
+def record_deletes(spark: SparkSession, path: str, doc_ids: DataFrame) -> None:
+    """Durably append delete-by-query results (doc_id rows) to the
+    segmented index root. Doc ids are global across segments (offsets are
+    contiguous), so one root-level deletion vector covers them all —
+    Lucene's ``.liv`` live-docs file made explicit. ``compact`` physically
+    drops the docs and clears the vector."""
+    doc_ids.select("doc_id").distinct().coalesce(1).write.mode("append").parquet(
+        _deletes_path(path)
+    )
+
+
+def read_deletes(spark: SparkSession, path: str) -> DataFrame | None:
+    try:
+        return spark.read.parquet(_deletes_path(path)).select("doc_id").distinct()
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return None
+        raise
 
 
 def read_segmented_index(spark: SparkSession, path: str) -> InvertedIndex:
@@ -147,6 +192,7 @@ def read_segmented_index(spark: SparkSession, path: str) -> InvertedIndex:
     man = read_manifest(spark, path)
     if not len(man):
         raise ValueError(f"no committed segments under {path}")
+    _require_uniform_bucket_bits(man, "read_segmented_index")
     dirs = list(man["segment_dir"])
     doc_stats = spark.read.parquet(*[f"{d}/doc_stats" for d in dirs])
     postings_flat = spark.read.parquet(*[f"{d}/postings_flat" for d in dirs])
@@ -172,6 +218,7 @@ def read_segmented_index(spark: SparkSession, path: str) -> InvertedIndex:
         profile=profile,
         key_cols=tuple(["doc_id", *key_cols_df]),
         postings_blocks=blocks,
+        deletes=read_deletes(spark, path),
     )
 
 
@@ -182,19 +229,45 @@ def compact(
     k1: float = K1_DEFAULT,
     b: float = B_DEFAULT,
 ) -> str:
-    """LSM merge of all committed segments into one. Returns the new
-    segment dir. Only (term, bucket) groups present in >1 segment are
-    re-encoded; the rest of the block table is copied through unchanged."""
+    """LSM merge of all committed segments into one, APPLYING the durable
+    deletion vector (Lucene merge semantics, ``SolrAdminActions.java:268``
+    delete + commit made physical): deleted docs are dropped from every
+    table, corpus stats (N, sum_dl, df, ttf) shrink accordingly, and the
+    deletion vector is cleared. Returns the new segment dir.
+
+    Only (term, bucket) groups present in >1 segment — or whose bucket
+    contains a deleted doc — are decoded and re-encoded; every other block
+    row is copied through without touching the binary payload, so the
+    merge shuffle is proportional to overlap + delete spread, not index
+    size."""
     import numpy as np
 
     from ..functions.codec import decode_block, encode_blocks
     from ..functions.similarity import LENGTH_TABLE
 
     man = read_manifest(spark, path)
-    if len(man) < 2:
-        raise ValueError("need >=2 segments to compact")
+    if len(man) < 1:
+        raise ValueError("nothing to compact")
+    bucket_bits = _require_uniform_bucket_bits(man, "compact")
     dirs = list(man["segment_dir"])
+    deletes = read_deletes(spark, path)
+    if len(man) < 2 and deletes is None:
+        raise ValueError("need >=2 segments or pending deletes to compact")
+    # avgdl for impact bounds: Lucene recomputes norms-based stats only per
+    # full rebuild; we keep the PRE-delete avgdl for re-encoded impacts so
+    # passthrough blocks (encoded with the same avgdl) stay consistent —
+    # WAND bounds remain valid upper bounds either way.
     avgdl = float(man["sum_dl"].sum()) / float(man["n_docs"].sum())
+
+    del_bc = None
+    if deletes is not None:
+        del_arr = np.sort(
+            np.fromiter(
+                (r["doc_id"] for r in deletes.select("doc_id").collect()),
+                dtype=np.int64,
+            )
+        )
+        del_bc = spark.sparkContext.broadcast(del_arr)
 
     blocks = spark.read.parquet(*[f"{d}/postings_blocks" for d in dirs]).withColumn(
         "_seg", F.regexp_extract(F.input_file_name(), r"segments/([^/]+)/", 1)
@@ -205,11 +278,22 @@ def compact(
         .filter(F.col("nseg") > 1)
         .select("term", "bucket_id")
     )
+    if deletes is not None:
+        del_buckets = deletes.select(
+            F.shiftright("doc_id", bucket_bits).alias("bucket_id")
+        ).distinct()
+        touched = (
+            blocks.join(F.broadcast(del_buckets), "bucket_id", "left_semi")
+            .select("term", "bucket_id")
+            .distinct()
+        )
+        overlap = overlap.unionByName(touched).distinct()
     overlap.persist()
 
     passthrough = blocks.join(overlap, ["term", "bucket_id"], "left_anti").drop("_seg")
 
     def reencode(grp: pd.DataFrame) -> pd.DataFrame:
+        cols = [c.split()[0] for c in BLOCKS_SCHEMA.split(", ")]
         term = grp["term"].iloc[0]
         bucket = int(grp["bucket_id"].iloc[0])
         docs_l, tfs_l, norms_l = [], [], []
@@ -223,10 +307,15 @@ def compact(
         docs = docs[order]
         tfs = np.concatenate(tfs_l)[order]
         norms = np.concatenate(norms_l)[order]
+        if del_bc is not None:
+            keep = ~np.isin(docs, del_bc.value)
+            docs, tfs, norms = docs[keep], tfs[keep], norms[keep]
+        if not docs.size:
+            return pd.DataFrame(columns=cols)
         dlq = LENGTH_TABLE[norms].astype(np.float64)
         impacts = tfs / (tfs + k1 * (1.0 - b + b * dlq / avgdl))
         rows = [(term, bucket, *blk) for blk in encode_blocks(docs, tfs, norms, impacts)]
-        return pd.DataFrame(rows, columns=[c.split()[0] for c in BLOCKS_SCHEMA.split(", ")])
+        return pd.DataFrame(rows, columns=cols)
 
     merged = (
         blocks.join(F.broadcast(overlap), ["term", "bucket_id"], "left_semi")
@@ -238,25 +327,37 @@ def compact(
     passthrough.unionByName(merged).repartition("term").sortWithinPartitions(
         "term", "bucket_id", "block_id"
     ).write.mode("overwrite").parquet(f"{out_dir}/postings_blocks")
+    blocks_r = spark.read.parquet(f"{out_dir}/postings_blocks")
 
-    # relational tables: plain unions / re-aggregation
-    spark.read.parquet(*[f"{d}/doc_stats" for d in dirs]).write.mode(
-        "overwrite"
-    ).parquet(f"{out_dir}/doc_stats")
-    spark.read.parquet(*[f"{d}/postings_flat" for d in dirs]).write.mode(
-        "overwrite"
-    ).parquet(f"{out_dir}/postings_flat")
+    def _minus_deleted(df: DataFrame) -> DataFrame:
+        if deletes is None:
+            return df
+        return df.join(F.broadcast(deletes), "doc_id", "left_anti")
+
+    # relational tables: unions minus the deletion vector
+    _minus_deleted(
+        spark.read.parquet(*[f"{d}/doc_stats" for d in dirs])
+    ).write.mode("overwrite").parquet(f"{out_dir}/doc_stats")
+    doc_stats_r = spark.read.parquet(f"{out_dir}/doc_stats")
+    _minus_deleted(
+        spark.read.parquet(*[f"{d}/postings_flat" for d in dirs])
+    ).write.mode("overwrite").parquet(f"{out_dir}/postings_flat")
+    # term stats: from the merged block METADATA — post-delete df/ttf with
+    # no extra pass over postings (same derivation as build_and_write_index)
     (
-        spark.read.parquet(*[f"{d}/term_stats" for d in dirs])
-        .groupBy("term")
-        .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
+        blocks_r.groupBy("term")
+        .agg(F.sum("cnt").cast("long").alias("df"), F.sum("sum_tf").alias("ttf"))
         .write.mode("overwrite")
         .parquet(f"{out_dir}/term_stats")
     )
+    stats = doc_stats_r.agg(
+        F.count("*").alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("s")
+    ).first()
+    n_docs, sum_dl = int(stats["n"]), int(stats["s"])
     meta = spark.createDataFrame(
         [
-            ("n_docs", str(int(man["n_docs"].sum()))),
-            ("sum_dl", str(int(man["sum_dl"].sum()))),
+            ("n_docs", str(n_docs)),
+            ("sum_dl", str(sum_dl)),
             ("profile", str(man["profile"].iloc[0])),
             ("key_cols", ""),
         ],
@@ -264,13 +365,14 @@ def compact(
     )
     meta.write.mode("overwrite").parquet(f"{out_dir}/index_meta")
 
-    # new manifest: single compacted row (write to a fresh dir then swap)
+    # new manifest: single compacted row. The checksum stays the XOR of the
+    # source-segment input checksums — lineage/provenance of what was
+    # ingested, not of the post-delete state.
     row = [
         (
-            out_key, out_dir, int(man["n_docs"].sum()), 0,
-            int(man["sum_dl"].sum()), -1,
+            out_key, out_dir, n_docs, 0, sum_dl, -1,
             0.0, 0.0, int(np.bitwise_xor.reduce(man["checksum"].to_numpy(dtype=np.int64))),
-            str(man["profile"].iloc[0]), int(man["bucket_bits"].iloc[0]),
+            str(man["profile"].iloc[0]), bucket_bits,
             time.time(),
         )
     ]
@@ -278,6 +380,11 @@ def compact(
         "overwrite"
     ).parquet(_manifest_path(path))
     overlap.unpersist()
+    if deletes is not None:
+        # applied physically -> clear the vector (Lucene drops .liv on merge)
+        import shutil
+
+        shutil.rmtree(_deletes_path(path), ignore_errors=True)
     return out_dir
 
 

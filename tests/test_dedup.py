@@ -1,0 +1,141 @@
+"""Dedup operators: exact/normalized groups, simhash (overflow regression
++ Hamming separation), minhash/LSH candidate recall, dropped-bucket
+surfacing. The reference's only dedup-shaped op is the orphan anti-join
+(SolrAdminActions.java:268); these are the training-pipeline extensions."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from solr_sematic_importer_spark.operators.dedup import (
+    exact_duplicates,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    normalized_duplicates,
+    shingles,
+    simhash,
+    simhash_hamming_pairs,
+)
+
+BASE = [
+    "the quick brown fox jumps over the lazy dog near the river bank",
+    "spark builds distributed inverted index postings with bucket salting",
+    "completely unrelated text about cooking pasta with garlic and olive oil",
+    "streaming watermark semantics for late arriving events in event time",
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = []
+    for i, t in enumerate(BASE):
+        rows.append((i, t))
+        # near-dup: one word changed
+        rows.append((100 + i, t.replace(t.split()[2], "xyzzy", 1)))
+        # exact dup of doc 0
+    rows.append((200, BASE[0]))
+    rows.append((201, BASE[0].upper()))  # normalized dup only
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_and_normalized_duplicates(docs):
+    ex = exact_duplicates(docs).collect()
+    assert any(r["dup_count"] == 2 and r["keep_id"] == 0 for r in ex)
+    nd = normalized_duplicates(docs).collect()
+    # normalization folds case: {0, 200, 201} group
+    assert any(r["dup_count"] == 3 and r["keep_id"] == 0 for r in nd)
+
+
+def test_simhash_no_overflow_and_hamming_separation(spark, docs):
+    """Regression for the ANSI long-overflow at the fingerprint fold
+    (round-1 CORRECTNESS err): fingerprints with bit 63 set must build.
+    Semantics: near-dup pairs have smaller Hamming distance than
+    unrelated pairs."""
+    from solr_sematic_importer_spark.operators.build import build_index
+
+    idx = build_index(
+        docs, text_col="text", key_cols=("doc_id",),
+        profile="simple", doc_id_col="doc_id",
+    )
+    fps = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash(idx.postings_flat.select("doc_id", "term", "tf")).collect()
+    }
+    assert len(fps) == docs.count()
+    # identical docs -> identical fingerprints
+    assert fps[0] == fps[200]
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    near = [ham(fps[i], fps[100 + i]) for i in range(len(BASE))]
+    far = [
+        ham(fps[i], fps[j])
+        for i in range(len(BASE))
+        for j in range(len(BASE))
+        if i < j
+    ]
+    assert max(near) < min(far)
+
+
+def test_simhash_hamming_pairs_finds_near_dups(spark, docs):
+    from solr_sematic_importer_spark.operators.build import build_index
+
+    idx = build_index(
+        docs, text_col="text", key_cols=("doc_id",),
+        profile="simple", doc_id_col="doc_id",
+    )
+    fps_df = simhash(idx.postings_flat.select("doc_id", "term", "tf"))
+    fps = {r["doc_id"]: r["simhash"] for r in fps_df.collect()}
+    # band_bits=4 -> 16 bands: any pair within Hamming distance 15 leaves
+    # >=1 band untouched (pigeonhole), so recall is GUARANTEED there
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_hamming_pairs(fps_df, band_bits=4, max_distance=15).collect()
+    }
+    assert (0, 200) in pairs and pairs[(0, 200)] == 0
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    expected = {
+        (a, b): ham(fps[a], fps[b])
+        for a in fps
+        for b in fps
+        if a < b and ham(fps[a], fps[b]) <= 15
+    }
+    assert pairs == expected
+
+
+def test_minhash_lsh_finds_near_dups_and_jaccard_confirms(docs):
+    sh = shingles(docs, n=3)
+    sig = minhash_signatures(sh, num_perm=64)
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(sig, bands=16).collect()
+    }
+    assert (0, 200) in pairs
+    # exact Jaccard verification pass agrees on the exact dup
+    jac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    assert jac[(0, 200)] == 1.0
+
+
+def test_lsh_dropped_buckets_are_surfaced(spark):
+    """A degenerate mega-bucket (many identical signatures) above
+    max_bucket is dropped from the join AND reported — silent truncation
+    would read as full coverage."""
+    sig_rows = [(i, list(range(64))) for i in range(30)]
+    sig = spark.createDataFrame(sig_rows, "doc_id long, signature array<long>")
+    pairs, dropped = lsh_candidate_pairs(
+        sig, bands=16, max_bucket=10, with_dropped=True
+    )
+    d = dropped.collect()
+    assert len(d) == 16  # every band bucket holds all 30 docs
+    assert all(r["size"] == 30 for r in d)
+    assert pairs.count() == 0  # everything was in dropped buckets
+    # and with a permissive cap the pairs come back
+    pairs2 = lsh_candidate_pairs(sig, bands=16, max_bucket=1000)
+    assert pairs2.count() == 30 * 29 // 2
