@@ -333,6 +333,48 @@ def q_flatten_nested(spark, sf_dir):
     return flatten_records(nested)
 
 
+def q_protobuf_wire(spark, sf_dir):
+    """S4 protobuf WIRE path (ProtobufSolrIndexer.java:33-47): customer
+    rows are serialized to real proto3 wire bytes (varint/length-delimited
+    per the published encoding spec) in one Arrow stage, then decoded +
+    flattened by the schema-driven pure-Python decoder
+    (sources/protowire.py). Oracle: the identity projection — encode
+    followed by decode must be lossless."""
+    from solr_sematic_importer_spark.sources.protowire import (
+        decode_protobuf_records,
+        encode_message,
+    )
+
+    _prepare(spark)
+    schema = {1: ("custkey", "int64"), 2: ("name", "string"), 3: ("acctbal_cents", "sint64")}
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name", F.round(F.col("c_acctbal") * 100).cast("long").alias("cents")
+    )
+
+    def enc(batches):
+        import pandas as pd
+
+        for b in batches:
+            if not len(b):
+                continue
+            yield pd.DataFrame(
+                {
+                    "payload": [
+                        encode_message(
+                            {"custkey": int(k), "name": n, "acctbal_cents": int(c)},
+                            schema,
+                        )
+                        for k, n, c in zip(b["c_custkey"], b["c_name"], b["cents"])
+                    ]
+                }
+            )
+
+    wire = cust.mapInPandas(enc, "payload binary")
+    return decode_protobuf_records(wire, schema).select(
+        "custkey", "name", "acctbal_cents"
+    )
+
+
 def q_ann_cosine(spark, sf_dir):
     from solr_sematic_importer_spark.operators.similarity_search import brute_force_cosine_topk
 
@@ -441,6 +483,33 @@ def q_ann_ivf(spark, sf_dir):
     return ivf_cosine_topk(assigned, cent, qv, k=10, nprobe=4).select(
         "vec_id", F.round("cosine", 4).alias("cosine")
     )
+
+
+def q_chunk_embed_ann(spark, sf_dir):
+    """C2/C3 embedding surface end-to-end (the reference's reason to
+    exist: text -> chunk -> embedding -> vector search,
+    InlineDocumentListener.java:101-104 / ChunkDocumentListener.java:
+    89-156 with vector-batch-size batching, application.yml:38): char
+    chunks -> batched deterministic-stub embeddings -> IVF ANN top-10.
+    Rows-only (the stub embedder + seeded k-means are not
+    SQL-expressible); tests assert IVF all-probe == brute force."""
+    from solr_sematic_importer_spark.operators.embed import (
+        chunk_and_embed,
+        make_hash_embedder,
+    )
+    from solr_sematic_importer_spark.operators.similarity_search import (
+        ivf_assign,
+        ivf_cosine_topk,
+        ivf_train_centroids,
+    )
+
+    _prepare(spark)
+    chunks = chunk_and_embed(_docs(spark, sf_dir), size=240, overlap=40, dim=64)
+    qv = make_hash_embedder(dim=64)([Q_OR])[0].tolist()
+    cent = ivf_train_centroids(chunks, 64, n_clusters=8, iters=5)
+    assigned = ivf_assign(chunks, cent)
+    top = ivf_cosine_topk(assigned, cent, qv, k=10, nprobe=4, id_col="id")
+    return top.select("id", F.round("cosine", 4).alias("cosine"))
 
 
 def q_ann_lsh(spark, sf_dir):
@@ -556,6 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truncate_field": q_truncate,
         "solr_date_format": q_solr_dates,
         "flatten_nested": q_flatten_nested,
+        "protobuf_wire_roundtrip": q_protobuf_wire,
         "delete_reload_query": q_delete_reload,
         "media_features": q_media_features,
         "media_frame_sample": q_media_frames,
@@ -568,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": q_simhash,
         "ann_lsh_topk": q_ann_lsh,
         "ann_ivf_topk": q_ann_ivf,
+        "chunk_embed_ann_topk": q_chunk_embed_ann,
     }
 
 
@@ -847,5 +918,9 @@ FROM scores ORDER BY raw_score DESC, doc_id ASC LIMIT 10""",
             FROM events""",
         "flatten_nested": """
             SELECT c_custkey, c_name AS msg_name, c_acctbal AS msg_inner_bal
+            FROM customer""",
+        "protobuf_wire_roundtrip": """
+            SELECT c_custkey AS custkey, c_name AS name,
+                   round(c_acctbal * 100)::BIGINT AS acctbal_cents
             FROM customer""",
     }

@@ -15,6 +15,32 @@ pseudo-term with ``df = max(df_member)`` and per-doc ``tf = sum(tf_member)``
 
 from __future__ import annotations
 
+# The shipped configset's synonyms.txt rules verbatim (comments stripped):
+# ``semantic_base_config.zip -> synonyms.txt`` — the stock Apache Solr
+# example file (ASF-licensed sample data). All rules are single-token.
+DEFAULT_SYNONYMS_TXT = """\
+aaafoo => aaabar
+bbbfoo => bbbfoo bbbbar
+cccfoo => cccbar cccbaz
+fooaaa,baraaa,bazaaa
+GB,gib,gigabyte,gigabytes
+MB,mib,megabyte,megabytes
+Television, Televisions, TV, TVs
+pixima => pixma
+"""
+
+_DEFAULT_RULES: dict[str, list[str]] | None = None
+
+
+def default_synonyms() -> dict[str, list[str]]:
+    """Parsed rules of the shipped config zip, ignoreCase=true per the
+    query chain (``managed-schema.xml:311`` synonymGraph ignoreCase
+    expand)."""
+    global _DEFAULT_RULES
+    if _DEFAULT_RULES is None:
+        _DEFAULT_RULES = parse_synonyms(DEFAULT_SYNONYMS_TXT, ignore_case=True)
+    return _DEFAULT_RULES
+
 
 def parse_synonyms(text: str, ignore_case: bool = True) -> dict[str, list[str]]:
     """Parse Solr synonyms.txt -> {token: [expansion tokens]}.

@@ -153,7 +153,7 @@ def bm25_topk(
 def bm25_topk_synonyms(
     index: InvertedIndex,
     query: str,
-    synonyms: dict[str, list[str]],
+    synonyms: dict[str, list[str]] | None = None,
     k: int = 10,
     k1: float = K1_DEFAULT,
     b: float = B_DEFAULT,
@@ -162,9 +162,16 @@ def bm25_topk_synonyms(
     """OR-semantics BM25 with query-time synonym groups, scored with
     Lucene ``SynonymQuery`` semantics: each original token position
     becomes one pseudo-term whose ``df = max(df of members)`` and per-doc
-    ``tf = sum(tf of members)``. Returns (doc_id, score)."""
-    from ..functions.synonyms import expand_terms
+    ``tf = sum(tf of members)``. Returns (doc_id, score).
 
+    ``synonyms=None`` loads the shipped configset's synonyms.txt rules
+    (``semantic_base_config.zip -> synonyms.txt`` via
+    ``functions.synonyms.default_synonyms``) — the default Solr query
+    chain, ``managed-schema.xml:311``."""
+    from ..functions.synonyms import default_synonyms, expand_terms
+
+    if synonyms is None:
+        synonyms = default_synonyms()
     spark = index.postings_flat.sparkSession
     out_schema = "doc_id long, score double"
     terms = analyze_query(query, index.profile)

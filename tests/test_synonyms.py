@@ -60,6 +60,65 @@ def test_no_rules_equals_plain(idx):
     ]
 
 
+def test_config_zip_rules_end_to_end(spark):
+    """The SHIPPED configset rules (semantic_base_config.zip ->
+    synonyms.txt, wired as the default of bm25_topk_synonyms per
+    managed-schema.xml:311 synonymGraph ignoreCase expand) applied to a
+    corpus exercising the Television/GB groups; scores checked against a
+    pure-Python SynonymQuery computation (df=max members, tf=sum)."""
+    from solr_sematic_importer_spark.functions.synonyms import default_synonyms
+
+    texts = [
+        "the television in the corner",          # television
+        "two new TVs and a television stand",    # tvs + television
+        "a tv with a gigabyte of memory",        # tv + gigabyte
+        "gigabytes of footage and 4 GB cards",   # gigabytes + gb
+        "nothing relevant here at all",
+        "pixima printer on the desk",            # pixima -> pixma (no self)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    idx = build_index(
+        docs, text_col="text", key_cols=(), profile="text_general",
+        doc_id_col="doc_id",
+    )
+    # query "TV": analyzer lowercases, ignoreCase rules match -> the full
+    # Television group
+    got = bm25_topk_synonyms(idx, "TV", k=10, quantize=False).collect()
+    assert {r["doc_id"] for r in got} == {0, 1, 2}
+
+    rules = default_synonyms()
+    members = rules["tv"]
+    assert members == ["television", "televisions", "tv", "tvs"]
+    stats = {
+        r["term"]: r["df"]
+        for r in idx.term_stats.filter(F.col("term").isin(members)).collect()
+    }
+    dfmax = max(stats.values())
+    w = math.log(1 + (idx.n_docs - dfmax + 0.5) / (dfmax + 0.5))
+    per_doc = {
+        r["doc_id"]: (r["tfs"], r["dl"])
+        for r in idx.postings_flat.filter(F.col("term").isin(members))
+        .groupBy("doc_id", "dl")
+        .agg(F.sum("tf").alias("tfs"))
+        .collect()
+    }
+    for r in got:
+        tfs, dl = per_doc[r["doc_id"]]
+        want = w * tfs / (tfs + 1.2 * (0.25 + 0.75 * dl / idx.avgdl))
+        assert r["score"] == pytest.approx(want, abs=1e-9)
+
+    # "pixima => pixma" replaces the token (LHS not on RHS): the corpus
+    # doc says "pixima", the index term is "pixima", the QUERY "pixima"
+    # maps to pixma only -> no hits (exactly Solr's behavior with this
+    # index-time-unexpanded toy file)
+    assert bm25_topk_synonyms(idx, "pixima", k=10).count() == 0
+    # GB equivalence group spans gb/gigabyte/gigabytes
+    got_gb = bm25_topk_synonyms(idx, "GB", k=10, quantize=False).collect()
+    assert {r["doc_id"] for r in got_gb} == {2, 3}
+
+
 def test_synonym_query_semantics(idx):
     """df = max over members, tf summed: verified against a hand
     computation on a single-group query."""
