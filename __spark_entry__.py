@@ -485,6 +485,24 @@ def q_ann_ivf(spark, sf_dir):
     )
 
 
+def q_ann_hnsw(spark, sf_dir):
+    """Q7 HNSW-class ANN (default-chunk-config.zip -> managed-schema.xml:13
+    hnsw/cosine): per-partition graphs (Lucene's graph-per-segment layout),
+    fan-out search + TakeOrdered merge. Rows-only (graph construction is
+    not SQL-expressible); tests assert recall >= 0.9 vs brute force and
+    determinism."""
+    from solr_sematic_importer_spark.operators.hnsw import hnsw_build, hnsw_query
+
+    _prepare(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    first = emb.filter(F.col("vec_id") == 0).first()
+    qv = [float(x) for x in first["embedding"]]
+    graphs = hnsw_build(emb, len(qv), m=16, ef_construction=100, num_partitions=4)
+    return hnsw_query(graphs, qv, k=10, ef_search=128).select(
+        "vec_id", F.round("cosine", 4).alias("cosine")
+    )
+
+
 def q_chunk_embed_ann(spark, sf_dir):
     """C2/C3 embedding surface end-to-end (the reference's reason to
     exist: text -> chunk -> embedding -> vector search,
@@ -638,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": q_simhash,
         "ann_lsh_topk": q_ann_lsh,
         "ann_ivf_topk": q_ann_ivf,
+        "ann_hnsw_topk": q_ann_hnsw,
         "chunk_embed_ann_topk": q_chunk_embed_ann,
     }
 

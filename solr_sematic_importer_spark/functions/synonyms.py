@@ -3,9 +3,12 @@
 The reference's ``text_general`` QUERY chain applies
 ``SynonymGraphFilter(synonyms.txt, expand=true)`` between the stop and
 lowercase filters (``semantic_base_config.zip -> managed-schema.xml:311``).
-The shipped file contains single-token rules only (comma equivalence
-groups and ``=>`` mappings); multi-token synonyms are out of scope and
-documented as such.
+The shipped file contains single-token rules only; multi-token LHS rules
+("sea biscuit => seabiscuit") are additionally supported via greedy
+longest-match span collapsing in ``expand_terms``. Multi-word RHS members
+are flattened to individual SynonymQuery members — a documented
+divergence from graph phrase-path scoring, which would require positional
+postings.
 
 Scoring follows Lucene's ``SynonymQuery`` (what Solr's query parser builds
 for single-token synonym expansions): all terms of a group score as ONE
@@ -85,5 +88,36 @@ def expand_terms(
     terms: list[str], rules: dict[str, list[str]]
 ) -> list[list[str]]:
     """Analyzed query tokens -> one synonym GROUP (list of terms) per
-    original token position. Tokens without a rule stay singleton."""
-    return [list(rules.get(t, [t])) or [t] for t in terms]
+    matched position. Tokens without a rule stay singleton.
+
+    Multi-token LHS rules ("sea biscuit => seabiscuit") are matched by
+    GREEDY LONGEST-MATCH over the token sequence — the span collapses to
+    one group, the synonymGraph side-path semantics. Multi-word RHS
+    members are flattened to their individual tokens as group members
+    (documented divergence: true graph queries score multi-word outputs
+    as phrase paths, which requires positional postings; with the flat
+    index each output token becomes a SynonymQuery member instead)."""
+    lhs_map = {tuple(k.split()): v for k, v in rules.items()}
+    max_len = max((len(k) for k in lhs_map), default=1)
+    out: list[list[str]] = []
+    i = 0
+    while i < len(terms):
+        hit = None
+        for span_len in range(min(max_len, len(terms) - i), 0, -1):
+            members = lhs_map.get(tuple(terms[i : i + span_len]))
+            if members is not None:
+                hit = (span_len, members)
+                break
+        if hit is None:
+            out.append([terms[i]])
+            i += 1
+            continue
+        span_len, members = hit
+        flat: list[str] = []
+        for m in members:
+            for tok in m.split():
+                if tok not in flat:
+                    flat.append(tok)
+        out.append(flat or list(terms[i : i + span_len]))
+        i += span_len
+    return out

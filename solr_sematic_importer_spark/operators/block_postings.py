@@ -219,6 +219,7 @@ def bm25_topk_wand(
     k1: float = K1_DEFAULT,
     b: float = B_DEFAULT,
     bucket_batch: int = 64,
+    fast_path: bool = True,
 ) -> DataFrame:
     """Exact BM25 top-k over the compressed block index with bucket-level
     block-max pruning. Returns (doc_id, score) like ``bm25_topk``
@@ -320,7 +321,7 @@ def bm25_topk_wand(
     # Fast path: when the candidate posting count (known exactly from df)
     # is small, the UB-ordering pass costs more than it saves — score every
     # candidate bucket in ONE job. Rare-term queries are 1 Spark job warm.
-    if sum(dfs[t] for t in weights) <= 64 * k * max(1, len(weights)) * 32:
+    if fast_path and sum(dfs[t] for t in weights) <= 64 * k * max(1, len(weights)) * 32:
         scored_df = cand.groupBy("bucket_id").applyInPandas(
             lambda _key, g: score_bucket(g), "doc_id long, score double"
         )

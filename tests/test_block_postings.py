@@ -86,6 +86,30 @@ def test_wand_identical_to_exhaustive(blocked):
             assert ws == pytest.approx(es, abs=1e-12), q
 
 
+def test_wand_iterative_bucket_selection_identical(blocked):
+    """Force the ITERATIVE UB-batched path (fast_path=False) with a tiny
+    bucket_batch so bucket count >> batch: many orderBy/limit rounds with
+    the theta filter must still produce bit-identical results — no bucket
+    skipped that could contribute, none scored twice."""
+    idx, blocks = blocked
+    n_buckets = blocks.select("bucket_id").distinct().count()
+    assert n_buckets > 8  # bucket_bits=8 on this corpus -> dozens of buckets
+    for q in ["the you one word", "zeppelin quartz obsidian", "word can use how said each"]:
+        exh = [
+            (r["doc_id"], r["score"])
+            for r in bm25_topk(idx, q, k=10, quantize=True)
+            .select("doc_id", "score")
+            .collect()
+        ]
+        wand = [
+            (r["doc_id"], r["score"])
+            for r in bm25_topk_wand(
+                idx, q, k=10, bucket_batch=3, fast_path=False
+            ).collect()
+        ]
+        assert wand == [(d, pytest.approx(s, abs=1e-12)) for d, s in exh], q
+
+
 def test_wand_k_larger_than_hits(blocked):
     idx, _ = blocked
     got = bm25_topk_wand(idx, "zeppelin", k=10_000).collect()

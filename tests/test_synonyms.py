@@ -47,6 +47,54 @@ def test_expand_terms():
     ]
 
 
+def test_expand_multi_token_lhs():
+    """synonymGraph multi-word rules: the LHS span collapses to one group
+    (greedy longest-match); multi-word RHS flattens to token members."""
+    r = parse_synonyms(
+        """
+        sea biscuit => seabiscuit
+        big apple, new york city => nyc
+        usa,united states
+        """
+    )
+    assert expand_terms(["sea", "biscuit", "racing"], r) == [
+        ["seabiscuit"],
+        ["racing"],
+    ]
+    assert expand_terms(["the", "big", "apple", "tour"], r) == [
+        ["the"],
+        ["nyc"],
+        ["tour"],
+    ]
+    assert expand_terms(["new", "york", "city"], r) == [["nyc"]]
+    # longest match wins over a shorter prefix rule
+    r2 = parse_synonyms("new => novel\nnew york city => nyc")
+    assert expand_terms(["new", "york", "city"], r2) == [["nyc"]]
+    assert expand_terms(["new", "car"], r2) == [["novel"], ["car"]]
+    # equivalence group with a multi-word member: flattened bag of members
+    assert expand_terms(["usa"], r) == [["usa", "united", "states"]]
+
+
+def test_multi_token_synonyms_end_to_end(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "seabiscuit won the race"),
+            (1, "a sea biscuit is a hardtack cracker"),
+            (2, "unrelated filler text entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_index(
+        docs, text_col="text", key_cols=(), profile="text_general",
+        doc_id_col="doc_id",
+    )
+    rules = parse_synonyms("sea biscuit => seabiscuit, sea biscuit")
+    # query "sea biscuit" -> one group {seabiscuit, sea, biscuit}: both
+    # docs 0 and 1 match through the group
+    got = {r["doc_id"] for r in bm25_topk_synonyms(idx, "sea biscuit", rules, k=10).collect()}
+    assert got == {0, 1}
+
+
 @pytest.fixture(scope="module")
 def idx(spark):
     return build_index(synthetic_transcripts(spark, 60), profile="text_general")
