@@ -167,6 +167,22 @@ def q_bm25_synonyms(spark, sf_dir):
     return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_bm25_phrase(spark, sf_dir):
+    """Exact phrase query (Solr q="..." -> Lucene PhraseQuery over
+    positional postings, delegated in the reference): adjacency matched
+    with JVM higher-order array ops over the positions table; scored as
+    one pseudo-term with idf = sum of member idfs, tf = phrase freq."""
+    from solr_sematic_importer_spark.operators.phrase import (
+        bm25_phrase_topk,
+        build_positions,
+    )
+
+    idx = _doc_index(spark, sf_dir)
+    pos = build_positions(_docs(spark, sf_dir), profile="simple")
+    top = bm25_phrase_topk(idx, pos, "merge group", k=10, quantize=False)
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def q_facet_lang(spark, sf_dir):
     # A2/Q5 facet count (reference: SolrAdminActions.java:252-265)
     return _docs(spark, sf_dir).groupBy("lang").agg(F.count("*").alias("cnt"))
@@ -623,6 +639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_conjunction": q_bm25_and,
         "bm25_offset_page": q_bm25_page2,
         "bm25_exclude_term": q_bm25_exclude,
+        "bm25_phrase": q_bm25_phrase,
         "bm25_synonym_query": q_bm25_synonyms,
         "facet_lang": q_facet_lang,
         "facet_source": q_facet_source,
@@ -765,6 +782,35 @@ def oracle_sql() -> dict[str, str]:
         "bm25_offset_page": _bm25_oracle(Q_OR.split(), offset=5),
         "bm25_exclude_term": _bm25_oracle(Q_OR.split(), exclude=Q_RARE),
         "delete_reload_query": _bm25_oracle(Q_OR.split(), delete_top=3),
+        "bm25_phrase": f"""
+WITH {_TF}{_DL},
+toksa AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS ts
+    FROM documents
+),
+dfa AS (SELECT count(*)::BIGINT AS df FROM (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge')),
+dfb AS (SELECT count(*)::BIGINT AS df FROM (SELECT DISTINCT doc_id FROM tf WHERE term = 'group')),
+ph AS (
+    SELECT doc_id,
+           len(list_filter(generate_series(1, greatest(len(ts) - 1, 0)),
+                           i -> ts[i] = 'merge' AND ts[i+1] = 'group'))::BIGINT AS tfp
+    FROM toksa
+),
+scores AS (
+    SELECT ph.doc_id,
+           (ln(1 + (s.n - dfa.df + 0.5) / (dfa.df + 0.5))
+            + ln(1 + (s.n - dfb.df + 0.5) / (dfb.df + 0.5)))
+           * ph.tfp / (ph.tfp + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl))
+             AS raw_score
+    FROM ph
+    JOIN dl USING (doc_id)
+    CROSS JOIN stats s CROSS JOIN dfa CROSS JOIN dfb
+    WHERE ph.tfp > 0
+)
+SELECT doc_id, round(raw_score, 4) AS score
+FROM scores ORDER BY raw_score DESC, doc_id ASC LIMIT 10""",
         "bm25_synonym_query": f"""
 WITH {_TF}{_DL},
 grp AS (

@@ -123,6 +123,33 @@ def analyze_simple(text: str) -> List[str]:
     return [t for t in _SIMPLE_RE.split(text.lower()) if t]
 
 
+def analyze_with_positions(text: str, profile: str) -> tuple[List[str], List[int]]:
+    """(terms, positions) with Lucene position-increment semantics: a
+    removed stopword leaves a GAP (enablePositionIncrements=true, the
+    stop-filter default), so phrase matching across a dropped stopword
+    requires the gap — "state union" does NOT phrase-match
+    "state of the union" in text_en, but "state of the union" does,
+    exactly as Lucene's PhraseQuery sees it."""
+    if not text:
+        return [], []
+    if profile == "simple":
+        toks = analyze_simple(text)
+        return toks, list(range(len(toks)))
+    raw = tokenize(text)
+    if profile == "text_general":
+        return [t.lower() for t in raw], list(range(len(raw)))
+    if profile != "text_en":
+        raise KeyError(profile)
+    terms, poss = [], []
+    for i, t in enumerate(raw):
+        if t.lower() in ENGLISH_STOPWORDS:
+            continue  # position consumed -> gap
+        t = _strip_possessive(t.lower())
+        terms.append(t if t in PROTECTED_WORDS else porter_stem(t))
+        poss.append(i)
+    return terms, poss
+
+
 PROFILES: dict[str, Callable[[str], List[str]]] = {
     "text_general": analyze_text_general,
     "text_en": analyze_text_en,
