@@ -167,6 +167,20 @@ def q_bm25_synonyms(spark, sf_dir):
     return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_bm25_filtered(spark, sf_dir):
+    """Q4/P3 filter query (fq) composed with scoring
+    (HttpSolrSelectClientImpl.java:113-115): the filter restricts the
+    ranked set pre-top-k without changing corpus statistics — exactly
+    Solr's fq semantics (cached filter ANDed with the main query)."""
+    from solr_sematic_importer_spark.operators.score import bm25_topk
+
+    idx = _doc_index(spark, sf_dir)
+    top = bm25_topk(
+        idx, Q_OR, k=10, quantize=False, extra_filter=F.col("doc_id") % 2 == 0
+    )
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def q_bm25_phrase(spark, sf_dir):
     """Exact phrase query (Solr q="..." -> Lucene PhraseQuery over
     positional postings, delegated in the reference): adjacency matched
@@ -639,6 +653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_conjunction": q_bm25_and,
         "bm25_offset_page": q_bm25_page2,
         "bm25_exclude_term": q_bm25_exclude,
+        "bm25_filtered": q_bm25_filtered,
         "bm25_phrase": q_bm25_phrase,
         "bm25_synonym_query": q_bm25_synonyms,
         "facet_lang": q_facet_lang,
@@ -709,6 +724,7 @@ def _bm25_oracle(
     exclude: str | None = None,
     k: int = 10,
     delete_top: int = 0,
+    fq: str | None = None,
 ) -> str:
     terms_sql = ", ".join(f"'{t}'" for t in terms)
     having = f"HAVING count(*) = {len(set(terms))}" if conjunction else ""
@@ -719,13 +735,17 @@ def _bm25_oracle(
     )
     # delete_top: durable delete-by-query of the query's own top-N — Lucene
     # keeps N/avgdl/df counting deleted docs until a merge, so scores are
-    # unchanged and the victims are simply filtered out of the ranking
-    del_where = (
-        f"""WHERE doc_id NOT IN (
-        SELECT doc_id FROM scores ORDER BY raw_score DESC, doc_id ASC LIMIT {delete_top})"""
-        if delete_top
-        else ""
-    )
+    # unchanged and the victims are simply filtered out of the ranking.
+    # fq: Solr filter query — restricts the ranked set, stats unchanged.
+    conds = []
+    if delete_top:
+        conds.append(
+            "doc_id NOT IN (SELECT doc_id FROM scores "
+            f"ORDER BY raw_score DESC, doc_id ASC LIMIT {delete_top})"
+        )
+    if fq:
+        conds.append(fq)
+    del_where = ("WHERE " + " AND ".join(conds)) if conds else ""
     return f"""
 WITH {_TF}{_DL},
 qt AS (SELECT unnest([{terms_sql}]) AS term),
@@ -782,6 +802,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_offset_page": _bm25_oracle(Q_OR.split(), offset=5),
         "bm25_exclude_term": _bm25_oracle(Q_OR.split(), exclude=Q_RARE),
         "delete_reload_query": _bm25_oracle(Q_OR.split(), delete_top=3),
+        "bm25_filtered": _bm25_oracle(Q_OR.split(), fq="doc_id % 2 = 0"),
         "bm25_phrase": f"""
 WITH {_TF}{_DL},
 toksa AS (
