@@ -197,9 +197,30 @@ def q_bm25_phrase(spark, sf_dir):
     return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_bm25_grouped(spark, sf_dir):
+    """Solr result grouping (group=true&group.field=lang): top-scoring doc
+    per group, groups ordered by head score."""
+    from solr_sematic_importer_spark.operators.score import bm25_grouped_topk
+
+    idx = _doc_index(spark, sf_dir)
+    groups = _docs(spark, sf_dir).select("doc_id", F.col("lang").alias("grp"))
+    top = bm25_grouped_topk(idx, Q_OR, groups, k=10, quantize=False)
+    return top.select("grp", "doc_id", F.round("score", 4).alias("score"))
+
+
 def q_facet_lang(spark, sf_dir):
     # A2/Q5 facet count (reference: SolrAdminActions.java:252-265)
     return _docs(spark, sf_dir).groupBy("lang").agg(F.count("*").alias("cnt"))
+
+
+def q_facet_range_day(spark, sf_dir):
+    """Solr facet.range over a date field: day-bucketed counts (the range
+    variant of A2/Q5; same partial+final hash agg, bucketing is a pure
+    projection so the agg shuffles pre-reduced rows)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").alias("cnt"))
 
 
 def q_facet_source(spark, sf_dir):
@@ -622,6 +643,21 @@ def q_delete_reload(spark, sf_dir):
     return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_highlight_topk(spark, sf_dir):
+    """Solr hl=true page shape: BM25 top-10 -> broadcast join back to
+    stored text -> snippet extraction with query terms wrapped (rows-only:
+    fragment-cutting is not SQL-expressible; goldens in
+    tests/test_highlight.py)."""
+    from solr_sematic_importer_spark.operators.highlight import highlight
+    from solr_sematic_importer_spark.operators.score import bm25_topk
+
+    _prepare(spark)
+    idx = _doc_index(spark, sf_dir)
+    top = bm25_topk(idx, Q_OR, k=10, quantize=False).select("doc_id")
+    page = F.broadcast(top).join(_docs(spark, sf_dir), "doc_id")
+    return highlight(page, Q_OR, profile="simple", frag_size=80)
+
+
 def q_media_frames(spark, sf_dir):
     from solr_sematic_importer_spark.operators.multimodal import (
         sample_frames,
@@ -656,8 +692,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_filtered": q_bm25_filtered,
         "bm25_phrase": q_bm25_phrase,
         "bm25_synonym_query": q_bm25_synonyms,
+        "bm25_grouped_topk": q_bm25_grouped,
         "facet_lang": q_facet_lang,
         "facet_source": q_facet_source,
+        "facet_range_day": q_facet_range_day,
         "chunks_char": q_chunks,
         "chunk_parent_join": q_chunk_parent_join,
         "chunk_stats": q_chunk_stats,
@@ -690,6 +728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf,
         "ann_hnsw_topk": q_ann_hnsw,
         "chunk_embed_ann_topk": q_chunk_embed_ann,
+        "highlight_topk": q_highlight_topk,
     }
 
 
@@ -855,7 +894,34 @@ scores AS (
 SELECT doc_id, round(raw_score, 4) AS score
 FROM scores ORDER BY raw_score DESC, doc_id ASC LIMIT 10""",
         "bm25_conjunction": _bm25_oracle(Q_AND.split(), conjunction=True),
+        "bm25_grouped_topk": f"""
+WITH {_TF}{_DL},
+qt AS (SELECT unnest(['merge', 'sort', 'window']) AS term),
+dft AS (
+    SELECT term, count(*)::BIGINT AS df FROM tf
+    WHERE term IN (SELECT term FROM qt) GROUP BY term
+),
+scores AS (
+    SELECT tf.doc_id,
+           sum(ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+               * tf.tf / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl))
+              ) AS raw_score
+    FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+    GROUP BY tf.doc_id
+),
+g AS (
+    SELECT d.lang AS grp, sc.doc_id, sc.raw_score,
+           row_number() OVER (PARTITION BY d.lang
+                              ORDER BY sc.raw_score DESC, sc.doc_id ASC) AS rn
+    FROM scores sc JOIN documents d USING (doc_id)
+)
+SELECT grp, doc_id, round(raw_score, 4) AS score
+FROM g WHERE rn = 1 ORDER BY raw_score DESC, doc_id ASC LIMIT 10""",
         "facet_lang": "SELECT lang, count(*)::BIGINT AS cnt FROM documents GROUP BY lang",
+        "facet_range_day": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   count(*)::BIGINT AS cnt
+            FROM events GROUP BY 1""",
         "facet_source": "SELECT source, count(*)::BIGINT AS cnt FROM documents GROUP BY source",
         "chunks_char": """
             WITH n AS (

@@ -8,16 +8,20 @@ training-data-pipeline operators (dedup, similarity search, text analysis)
 a 100 TB corpus needs.
 
 Layout:
-  functions/  analyzer chains, Porter stemmer, synonyms, posting codec,
-              Lucene BM25 + SmallFloat math
+  functions/  analyzer chains (incl. positional), Porter stemmer, synonyms
+              (multi-token, config-zip defaults), posting codec, Lucene
+              BM25 + SmallFloat math
   operators/  docid assignment, index build (in-memory + single-shuffle
               disk build), block postings + block-max WAND, scoring,
-              segments/manifest/compaction, enrichment, flatten, chunking,
-              dedup, similarity search (brute/LSH/IVF), text stats,
-              multimodal plumbing
-  sources/    synthetic transcript generator, TSV/JSON/Solr-envelope readers
+              phrase queries, highlighting, segments/manifest/compaction
+              with durable deletes, enrichment, flatten, chunking,
+              embeddings (batched UDF + stub registry), dedup
+              (exact/minhash-LSH/simhash), similarity search
+              (brute/LSH/IVF/HNSW), text stats, multimodal plumbing
+  sources/    synthetic transcript generator, TSV/JSON/Solr-envelope
+              readers, proto3 wire decoder
   plans/      physical-plan introspection (pushdown/pruning assertions)
   streaming/  incremental (segment-per-micro-batch) build
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

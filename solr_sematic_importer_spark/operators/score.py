@@ -63,7 +63,6 @@ def bm25_topk(
     their postings.
     """
     spark = index.postings_flat.sparkSession
-    terms = analyze_query(query, index.profile)
     key_cols = [c for c in index.key_cols]
     empty = spark.createDataFrame(
         [],
@@ -71,8 +70,48 @@ def bm25_topk(
         .withColumn("score", F.lit(0.0))
         .schema,
     )
-    if not terms or index.n_docs == 0:
+    per_doc = score_or_docs(
+        index, query, k1=k1, b=b, quantize=quantize,
+        extra_filter=extra_filter, exclude=exclude,
+    )
+    if per_doc is None:
         return empty
+
+    top = (
+        per_doc.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(offset + k)
+    )
+    if offset:
+        rows = top.collect()[offset : offset + k]
+        top = spark.createDataFrame(rows, top.schema) if rows else spark.createDataFrame([], top.schema)
+
+    lookup_cols = [c for c in key_cols if c != "doc_id"]
+    if lookup_cols:
+        out = F.broadcast(top).join(
+            index.doc_stats.select("doc_id", *lookup_cols), "doc_id"
+        ).select("doc_id", *lookup_cols, "score")
+        # re-assert ordering after the lookup join
+        return out.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return top.select("doc_id", "score")
+
+
+def score_or_docs(
+    index: InvertedIndex,
+    query: str,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    quantize: bool = True,
+    extra_filter=None,
+    exclude: str | None = None,
+) -> DataFrame | None:
+    """The shared OR-semantics scoring stage: every matching doc with its
+    full BM25 score (no top-k cut). None when the query matches nothing.
+    ``bm25_topk`` adds TakeOrdered on top; ``bm25_grouped_topk`` adds the
+    per-group window instead."""
+    spark = index.postings_flat.sparkSession
+    terms = analyze_query(query, index.profile)
+    if not terms or index.n_docs == 0:
+        return None
 
     counts = Counter(terms)
     dfs = {
@@ -87,7 +126,7 @@ def bm25_topk(
         if t in dfs
     ]
     if not weights:
-        return empty
+        return None
 
     wdf = spark.createDataFrame(weights, "term string, w double")
     dl_col = "dl_quant" if quantize else "dl"
@@ -132,22 +171,7 @@ def bm25_topk(
     if index.deletes is not None:
         per_doc = per_doc.join(index.deletes.select("doc_id"), "doc_id", "left_anti")
 
-    top = (
-        per_doc.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-        .limit(offset + k)
-    )
-    if offset:
-        rows = top.collect()[offset : offset + k]
-        top = spark.createDataFrame(rows, top.schema) if rows else spark.createDataFrame([], top.schema)
-
-    lookup_cols = [c for c in key_cols if c != "doc_id"]
-    if lookup_cols:
-        out = F.broadcast(top).join(
-            index.doc_stats.select("doc_id", *lookup_cols), "doc_id"
-        ).select("doc_id", *lookup_cols, "score")
-        # re-assert ordering after the lookup join
-        return out.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    return top.select("doc_id", "score")
+    return per_doc
 
 
 def bm25_topk_synonyms(
@@ -243,6 +267,47 @@ def bm25_topk_synonyms(
         per_doc.orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
         .select("doc_id", "score")
+    )
+
+
+def bm25_grouped_topk(
+    index: InvertedIndex,
+    query: str,
+    groups: DataFrame,
+    k: int = 10,
+    group_col: str = "grp",
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    quantize: bool = True,
+) -> DataFrame:
+    """Solr result grouping (``group=true&group.field=X``, served by the
+    destination collection's ``/select``): the top-scoring document of
+    each group, groups ordered by their head score. ``groups`` maps
+    ``doc_id -> group_col``. Returns (grp, doc_id, score).
+
+    Spark shape: score as usual, join the group map, one window
+    ``row_number() over (partition by grp order by score desc, doc_id)``
+    — the per-group shuffle is on the group key, and the final top-k of
+    group heads is TakeOrderedAndProject."""
+    from pyspark.sql.window import Window
+
+    spark = index.postings_flat.sparkSession
+    scored = score_or_docs(index, query, k1=k1, b=b, quantize=quantize)
+    if scored is None:
+        return spark.createDataFrame([], f"{group_col} string, doc_id long, score double")
+    joined = scored.join(groups.select("doc_id", group_col), "doc_id")
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    heads = (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        heads.select(group_col, "doc_id", "score")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
     )
 
 

@@ -46,6 +46,34 @@ def test_exclude_terms(idx):
     assert got and all(r["doc_id"] not in banned for r in got)
 
 
+def test_grouped_topk_heads(spark, idx):
+    """Solr result grouping: one head per group, ordered by head score,
+    identical to a manual window over the full scored set."""
+    from solr_sematic_importer_spark.operators.score import (
+        bm25_grouped_topk,
+        score_or_docs,
+    )
+
+    # group = conv bucket parity derived from doc_id
+    groups = idx.doc_stats.select(
+        "doc_id", (F.col("doc_id") % 3).cast("string").alias("grp")
+    )
+    got = bm25_grouped_topk(idx, "you one word", groups, k=10).collect()
+    assert 1 <= len(got) <= 3  # at most one row per group
+
+    scored = {
+        r["doc_id"]: r["score"]
+        for r in score_or_docs(idx, "you one word").collect()
+    }
+    want_heads = {}
+    for did, s in scored.items():
+        g = str(did % 3)
+        if g not in want_heads or (s, -did) > (want_heads[g][1], -want_heads[g][0]):
+            want_heads[g] = (did, s)
+    want = sorted(want_heads.items(), key=lambda kv: (-kv[1][1], kv[1][0]))
+    assert [(r["grp"], r["doc_id"]) for r in got] == [(g, d) for g, (d, _) in want]
+
+
 def test_delete_by_query_masks_docs(idx):
     before = bm25_topk(idx, "zeppelin", k=10).select("doc_id", "score").collect()
     assert before
