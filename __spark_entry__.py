@@ -208,6 +208,35 @@ def q_bm25_grouped(spark, sf_dir):
     return top.select("grp", "doc_id", F.round("score", 4).alias("score"))
 
 
+def q_more_like_this(spark, sf_dir):
+    """Solr MoreLikeThis (/mlt): interesting terms of doc 0 by tf*idf
+    (mintf=2, mindf=5; maxqt high enough that the gate, not float
+    truncation order, decides the set) -> OR query excluding the doc."""
+    from solr_sematic_importer_spark.operators.mlt import more_like_this
+
+    idx = _doc_index(spark, sf_dir)
+    top = more_like_this(
+        idx, 0, k=10, max_query_terms=100, min_term_freq=2, min_doc_freq=5,
+        quantize=False,
+    )
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_field_stats(spark, sf_dir):
+    """Solr stats component (stats.field=c_acctbal): count/missing/min/
+    max/sum/mean/stddev in one partial+final agg pass."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return cust.agg(
+        F.count("c_acctbal").alias("cnt"),
+        F.sum(F.when(F.col("c_acctbal").isNull(), 1).otherwise(0)).alias("missing"),
+        F.round(F.min("c_acctbal"), 2).alias("min_v"),
+        F.round(F.max("c_acctbal"), 2).alias("max_v"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_v"),
+        F.round(F.avg("c_acctbal"), 4).alias("mean_v"),
+        F.round(F.stddev_samp("c_acctbal"), 4).alias("stddev_v"),
+    )
+
+
 def q_facet_lang(spark, sf_dir):
     # A2/Q5 facet count (reference: SolrAdminActions.java:252-265)
     return _docs(spark, sf_dir).groupBy("lang").agg(F.count("*").alias("cnt"))
@@ -693,6 +722,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase": q_bm25_phrase,
         "bm25_synonym_query": q_bm25_synonyms,
         "bm25_grouped_topk": q_bm25_grouped,
+        "more_like_this": q_more_like_this,
+        "field_stats": q_field_stats,
         "facet_lang": q_facet_lang,
         "facet_source": q_facet_source,
         "facet_range_day": q_facet_range_day,
@@ -917,6 +948,35 @@ g AS (
 )
 SELECT grp, doc_id, round(raw_score, 4) AS score
 FROM g WHERE rn = 1 ORDER BY raw_score DESC, doc_id ASC LIMIT 10""",
+        "more_like_this": f"""
+WITH {_TF}{_DL},
+alldf AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+it AS (
+    SELECT tf.term
+    FROM tf JOIN alldf USING (term) CROSS JOIN stats s
+    WHERE tf.doc_id = 0 AND tf.tf >= 2 AND alldf.df >= 5
+),
+dft AS (SELECT term, df FROM alldf WHERE term IN (SELECT term FROM it)),
+scores AS (
+    SELECT tf.doc_id,
+           sum(ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+               * tf.tf / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl))
+              ) AS raw_score
+    FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+    GROUP BY tf.doc_id
+)
+SELECT doc_id, round(raw_score, 4) AS score
+FROM scores WHERE doc_id <> 0
+ORDER BY raw_score DESC, doc_id ASC LIMIT 10""",
+        "field_stats": """
+            SELECT count(c_acctbal)::BIGINT AS cnt,
+                   sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END)::BIGINT AS missing,
+                   round(min(c_acctbal), 2) AS min_v,
+                   round(max(c_acctbal), 2) AS max_v,
+                   round(sum(c_acctbal), 2) AS sum_v,
+                   round(avg(c_acctbal), 4) AS mean_v,
+                   round(stddev_samp(c_acctbal), 4) AS stddev_v
+            FROM customer""",
         "facet_lang": "SELECT lang, count(*)::BIGINT AS cnt FROM documents GROUP BY lang",
         "facet_range_day": """
             SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

@@ -1,0 +1,93 @@
+"""MoreLikeThis (Solr ``/mlt`` handler & ``mlt=true`` component — served
+by the destination collection, delegated to Lucene's MoreLikeThis in the
+reference). Given a source document: rank its terms by tf·idf
+"interestingness", take the top ``max_query_terms``, and run them as an
+OR query excluding the source doc.
+
+Lucene MoreLikeThis semantics reproduced:
+
+* interestingness = ``tf * (ln(numDocs / (docFreq + 1)) + 1)`` (the
+  classic-similarity idf MLT uses for term selection, independent of the
+  BM25 used for final ranking);
+* gates: ``min_term_freq`` (default 2), ``min_doc_freq`` (default 5),
+  ``max_query_terms`` (default 25);
+* selected terms run as plain SHOULD clauses (boost=false default) under
+  the engine's BM25 — via ``score_or_docs(raw_terms=...)`` so the
+  already-analyzed index terms are not re-stemmed.
+
+Deterministic tie-break on term selection: (score desc, term asc).
+
+Scale shape: the source doc's term vector is one pushed-filter lookup
+(doc_id predicate on postings), term stats come from the hot vocab-sized
+``term_stats`` table, and the final query is the ordinary OR path.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+from .build import InvertedIndex
+from .score import score_or_docs
+
+
+def interesting_terms(
+    index: InvertedIndex,
+    doc_id: int,
+    max_query_terms: int = 25,
+    min_term_freq: int = 2,
+    min_doc_freq: int = 5,
+) -> list[tuple[str, float]]:
+    """[(term, interestingness)] for the source doc, best first."""
+    tv = {
+        r["term"]: int(r["tf"])
+        for r in index.postings_flat.filter(F.col("doc_id") == doc_id)
+        .select("term", "tf")
+        .collect()
+        if int(r["tf"]) >= min_term_freq
+    }
+    if not tv:
+        return []
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in index.term_stats.filter(F.col("term").isin(list(tv)))
+        .select("term", "df")
+        .collect()
+    }
+    n = index.n_docs
+    scored = [
+        (t, tv[t] * (math.log(n / (dfs[t] + 1)) + 1.0))
+        for t in tv
+        if dfs.get(t, 0) >= min_doc_freq
+    ]
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    return scored[:max_query_terms]
+
+
+def more_like_this(
+    index: InvertedIndex,
+    doc_id: int,
+    k: int = 10,
+    max_query_terms: int = 25,
+    min_term_freq: int = 2,
+    min_doc_freq: int = 5,
+    quantize: bool = True,
+) -> DataFrame:
+    """Top-k similar docs (doc_id, score), the source doc excluded."""
+    spark = index.postings_flat.sparkSession
+    out_schema = "doc_id long, score double"
+    terms = [t for t, _ in interesting_terms(
+        index, doc_id, max_query_terms, min_term_freq, min_doc_freq
+    )]
+    if not terms:
+        return spark.createDataFrame([], out_schema)
+    per_doc = score_or_docs(index, "", quantize=quantize, raw_terms=terms)
+    if per_doc is None:
+        return spark.createDataFrame([], out_schema)
+    return (
+        per_doc.filter(F.col("doc_id") != doc_id)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", "score")
+    )

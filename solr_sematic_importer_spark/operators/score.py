@@ -103,13 +103,16 @@ def score_or_docs(
     quantize: bool = True,
     extra_filter=None,
     exclude: str | None = None,
+    raw_terms: Sequence[str] | None = None,
 ) -> DataFrame | None:
     """The shared OR-semantics scoring stage: every matching doc with its
     full BM25 score (no top-k cut). None when the query matches nothing.
     ``bm25_topk`` adds TakeOrdered on top; ``bm25_grouped_topk`` adds the
-    per-group window instead."""
+    per-group window instead. ``raw_terms`` bypasses query analysis for
+    callers whose terms are ALREADY analyzed (more-like-this feeds index
+    terms back in; re-analysis would double-stem them)."""
     spark = index.postings_flat.sparkSession
-    terms = analyze_query(query, index.profile)
+    terms = list(raw_terms) if raw_terms is not None else analyze_query(query, index.profile)
     if not terms or index.n_docs == 0:
         return None
 
