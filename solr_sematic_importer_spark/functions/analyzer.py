@@ -73,16 +73,18 @@ def tokenize(text: str) -> List[str]:
     """Lucene-StandardTokenizer-style tokens, original case preserved."""
     if not text:
         return []
-    out: List[str] = []
-    for m in _TOKEN_RE.finditer(text):
-        tok = m.group(0)
-        if len(tok) <= MAX_TOKEN_LENGTH:
-            out.append(tok)
-        else:
-            out.extend(
-                tok[i : i + MAX_TOKEN_LENGTH]
-                for i in range(0, len(tok), MAX_TOKEN_LENGTH)
-            )
+    out = _TOKEN_RE.findall(text)  # findall beats finditer+group ~20%
+    if any(len(t) > MAX_TOKEN_LENGTH for t in out):
+        fixed: List[str] = []
+        for tok in out:
+            if len(tok) <= MAX_TOKEN_LENGTH:
+                fixed.append(tok)
+            else:
+                fixed.extend(
+                    tok[i : i + MAX_TOKEN_LENGTH]
+                    for i in range(0, len(tok), MAX_TOKEN_LENGTH)
+                )
+        return fixed
     return out
 
 
@@ -98,18 +100,35 @@ def analyze_text_general(text: str) -> List[str]:
     return [t.lower() for t in tokenize(text)]
 
 
+# whole-chain memo keyed by the RAW token: one dict hit replaces
+# stop-check + lower + possessive + porter per occurrence. "" marks a
+# stopword. Bounded: cleared if the long tail ever exceeds the cap (the
+# analyzed vocabulary of a batch worker is tiny next to executor memory).
+_TEXT_EN_MEMO: dict[str, str] = {}
+_MEMO_CAP = 1 << 20
+
+
+def _text_en_term(t: str) -> str:
+    if t.lower() in ENGLISH_STOPWORDS:  # ignoreCase="true"
+        return ""
+    s = _strip_possessive(t.lower())
+    return s if s in PROTECTED_WORDS else porter_stem(s)
+
+
 def analyze_text_en(text: str) -> List[str]:
     """tokenize -> stop(en, ignoreCase) -> lowercase -> possessive ->
     keywordMarker(protwords) -> porterStem."""
+    memo = _TEXT_EN_MEMO
     out: List[str] = []
     for t in tokenize(text):
-        if t.lower() in ENGLISH_STOPWORDS:  # ignoreCase="true"
-            continue
-        t = _strip_possessive(t.lower())
-        if t in PROTECTED_WORDS:
-            out.append(t)
-        else:
-            out.append(porter_stem(t))
+        r = memo.get(t)
+        if r is None:
+            r = _text_en_term(t)
+            if len(memo) >= _MEMO_CAP:
+                memo.clear()
+            memo[t] = r
+        if r:
+            out.append(r)
     return out
 
 
@@ -142,10 +161,10 @@ def analyze_with_positions(text: str, profile: str) -> tuple[List[str], List[int
         raise KeyError(profile)
     terms, poss = [], []
     for i, t in enumerate(raw):
-        if t.lower() in ENGLISH_STOPWORDS:
-            continue  # position consumed -> gap
-        t = _strip_possessive(t.lower())
-        terms.append(t if t in PROTECTED_WORDS else porter_stem(t))
+        r = _text_en_term(t)
+        if not r:
+            continue  # stopword: position consumed -> gap
+        terms.append(r)
         poss.append(i)
     return terms, poss
 
@@ -171,7 +190,12 @@ def tf_series(texts: pd.Series, profile: str):
     still in one Python batch — means the engine never shuffles raw token
     occurrences: the downstream explode emits one row per DISTINCT
     (doc, term) with tf attached, and the only index-build shuffle left is
-    the docfreq aggregation."""
+    the docfreq aggregation.
+
+    The per-token transform chain is memoized at the analyzer level
+    (``_TEXT_EN_MEMO``), so per-occurrence cost is tokenizer + one dict
+    hit. (A distinct-raw-token fold was tried and measured SLOWER — the
+    Counter-merge overhead exceeds the saved memo hits.)"""
     from collections import Counter
 
     fn = PROFILES[profile]
