@@ -52,6 +52,52 @@ def test_projection_prunes_scan_columns(disk_idx):
     assert pushed_filters(df)
 
 
+def test_grouped_topk_single_window_no_extra_sort(spark, disk_idx):
+    """Result grouping = one window exchange on the group key + TakeOrdered
+    for the head merge; no global sort of the full scored set."""
+    from solr_sematic_importer_spark.operators.score import bm25_grouped_topk
+
+    groups = disk_idx.doc_stats.select(
+        "doc_id", (F.col("doc_id") % 2).cast("string").alias("grp")
+    )
+    q = bm25_grouped_topk(disk_idx, "zeppelin quartz", groups, k=5)
+    assert has_node(q, "Window")
+    assert has_node(q, "TakeOrderedAndProject")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # a global sort would plan an Exchange rangepartitioning(score ...);
+    # the window shuffles by hashpartitioning(grp) and the final top-k is
+    # TakeOrderedAndProject — no range exchange anywhere
+    assert "rangepartitioning(score" not in plan
+
+
+def test_facet_counts_use_partial_aggregation(disk_idx):
+    """A2/Q5 facets: partial (map-side) + final hash aggregate — the
+    shuffle carries pre-reduced rows, not raw ones."""
+    q = disk_idx.doc_stats.groupBy("conv_id").agg(F.count("*").alias("cnt"))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_phrase_positions_scan_prunes_and_pushes(spark, tmp_path, disk_idx):
+    from solr_sematic_importer_spark.operators.phrase import (
+        build_positions,
+        phrase_match_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "beta alpha beta")],
+        "doc_id long, text string",
+    )
+    p = str(tmp_path / "pos")
+    build_positions(docs, profile="simple").write.parquet(p)
+    pos = spark.read.parquet(p)
+    q = phrase_match_counts(pos, ["alpha", "beta"], [0, 1])
+    assert pushed_filters(q)  # term predicates reach the scan
+    # the adjacency filter is JVM higher-order functions — no Python node
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PythonUDF" not in plan and "MapInPandas" not in plan
+
+
 def test_block_metadata_scan_skips_binary_columns(disk_idx):
     # the WAND upper-bound pass reads only block METADATA — binary payload
     # columns must be pruned from that scan
