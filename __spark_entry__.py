@@ -208,6 +208,37 @@ def q_bm25_grouped(spark, sf_dir):
     return top.select("grp", "doc_id", F.round("score", 4).alias("score"))
 
 
+def q_lucene_syntax_query(spark, sf_dir):
+    """Lucene classic parser syntax end-to-end (the /select q= grammar,
+    solrconfig.xml:667-670 lucene defType): '+merge sort -window' ->
+    MUST(merge) + SHOULD(sort) + MUST_NOT(window) under BooleanQuery
+    scoring (sum of matching clause scores)."""
+    from solr_sematic_importer_spark.operators.boolean_query import (
+        boolean_query_topk,
+    )
+
+    idx = _doc_index(spark, sf_dir)
+    top = boolean_query_topk(idx, "+merge sort -window", k=10, quantize=False)
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_terms_component(spark, sf_dir):
+    """Solr /terms: prefix-matched vocabulary by descending df (the
+    autocomplete primitive)."""
+    from solr_sematic_importer_spark.operators.score import terms_component
+
+    idx = _doc_index(spark, sf_dir)
+    return terms_component(idx, prefix="s", limit=10)
+
+
+def q_prefix_query(spark, sf_dir):
+    """Lucene PrefixQuery (q=me*) under the constant-score rewrite."""
+    from solr_sematic_importer_spark.operators.score import prefix_query_topk
+
+    idx = _doc_index(spark, sf_dir)
+    return prefix_query_topk(idx, "me", k=10)
+
+
 def q_more_like_this(spark, sf_dir):
     """Solr MoreLikeThis (/mlt): interesting terms of doc 0 by tf*idf
     (mintf=2, mindf=5; maxqt high enough that the gate, not float
@@ -722,6 +753,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase": q_bm25_phrase,
         "bm25_synonym_query": q_bm25_synonyms,
         "bm25_grouped_topk": q_bm25_grouped,
+        "lucene_syntax_query": q_lucene_syntax_query,
+        "terms_component": q_terms_component,
+        "prefix_query": q_prefix_query,
         "more_like_this": q_more_like_this,
         "field_stats": q_field_stats,
         "facet_lang": q_facet_lang,
@@ -948,6 +982,35 @@ g AS (
 )
 SELECT grp, doc_id, round(raw_score, 4) AS score
 FROM g WHERE rn = 1 ORDER BY raw_score DESC, doc_id ASC LIMIT 10""",
+        "lucene_syntax_query": f"""
+WITH {_TF}{_DL},
+qt AS (SELECT unnest(['merge', 'sort']) AS term),
+dft AS (
+    SELECT term, count(*)::BIGINT AS df FROM tf
+    WHERE term IN (SELECT term FROM qt) GROUP BY term
+),
+scores AS (
+    SELECT tf.doc_id,
+           sum(ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+               * tf.tf / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl))
+              ) AS raw_score
+    FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+    GROUP BY tf.doc_id
+)
+SELECT doc_id, round(raw_score, 4) AS score
+FROM scores
+WHERE doc_id IN (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge')
+  AND doc_id NOT IN (SELECT DISTINCT doc_id FROM tf WHERE term = 'window')
+ORDER BY raw_score DESC, doc_id ASC LIMIT 10""",
+        "terms_component": f"""
+            WITH {_TF}
+            SELECT term, count(*)::BIGINT AS df FROM tf
+            WHERE term LIKE 's%' GROUP BY term
+            ORDER BY df DESC, term ASC LIMIT 10""",
+        "prefix_query": f"""
+            WITH {_TOKS}
+            SELECT DISTINCT doc_id, 1.0 AS score FROM toks
+            WHERE term LIKE 'me%' ORDER BY doc_id ASC LIMIT 10""",
         "more_like_this": f"""
 WITH {_TF}{_DL},
 alldf AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),

@@ -1,0 +1,155 @@
+"""Lucene classic query-parser syntax (the reference destination's
+``/select`` default parser, ``defType=lucene`` with ``df=_text_``,
+``semantic_base_config.zip -> solrconfig.xml:667-670``) — the subset a
+collection user types daily:
+
+* bare terms (analyzed, SHOULD by default — q.op=OR per the config)
+* ``+term`` MUST, ``-term`` / ``NOT term`` MUST_NOT
+* ``term1 AND term2`` both MUST, ``OR`` keeps SHOULD
+* ``"quoted phrase"`` phrase clause (positions required to execute)
+* ``(grouped clauses)`` nested boolean query
+* ``prefix*`` PrefixQuery (constant-score rewrite inside the boolean)
+* ``term^2.5`` boost
+* ``field:term`` — only the default search field is addressable (the
+  engine indexes one analyzed field, like the reference's ``_text_``
+  catch-all); any other field name raises.
+
+Out of scope (documented): fuzzy ``~``, ranges ``[a TO b]`` (use fq
+filters), leading wildcards. The parser produces a plain AST; execution
+lives in ``operators/boolean_query.py``.
+
+Occur resolution follows the classic parser's practical behavior: an
+explicit +/- wins; otherwise ``AND`` promotes BOTH neighbors to MUST,
+``OR`` leaves SHOULD.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+SHOULD, MUST, MUST_NOT = "SHOULD", "MUST", "MUST_NOT"
+
+DEFAULT_FIELDS = {"_text_", "text"}
+
+_TOKEN = re.compile(
+    r"""
+    (?P<lpar>\() | (?P<rpar>\)) |
+    (?P<and>AND\b) | (?P<or>OR\b) | (?P<not>NOT\b) |
+    (?P<plus>\+) | (?P<minus>-) |
+    (?P<phrase>"(?P<phrase_body>[^"]*)") |
+    (?P<word>[^\s()+\-"^]+) |
+    (?P<boost>\^(?P<boost_val>\d+(?:\.\d+)?)) |
+    (?P<ws>\s+)
+    """,
+    re.VERBOSE,
+)
+
+
+@dataclass
+class Clause:
+    occur: str            # SHOULD / MUST / MUST_NOT
+    kind: str             # term / phrase / prefix / group
+    text: str = ""        # raw term / phrase body / prefix (no '*')
+    boost: float = 1.0
+    children: list = field(default_factory=list)  # for kind == "group"
+
+
+class QueryParseError(ValueError):
+    pass
+
+
+def parse_query(q: str) -> list[Clause]:
+    """Query string -> top-level clause list."""
+    tokens = []
+    pos = 0
+    while pos < len(q):
+        m = _TOKEN.match(q, pos)
+        if not m:
+            raise QueryParseError(f"cannot tokenize at {q[pos:pos+20]!r}")
+        pos = m.end()
+        if m.lastgroup in (None, "ws"):
+            continue
+        tokens.append(m)
+    clauses, i = _parse_clauses(tokens, 0, q)
+    if i != len(tokens):
+        raise QueryParseError("unbalanced ')'")
+    return clauses
+
+
+def _strip_field(word: str) -> str:
+    if ":" in word:
+        fld, rest = word.split(":", 1)
+        if fld not in DEFAULT_FIELDS:
+            raise QueryParseError(
+                f"field '{fld}' is not addressable; the engine indexes one "
+                f"analyzed field ({sorted(DEFAULT_FIELDS)})"
+            )
+        return rest
+    return word
+
+
+def _parse_clauses(tokens, i, q) -> tuple[list[Clause], int]:
+    out: list[Clause] = []
+    pending: str | None = None   # explicit +/-/NOT for the next clause
+    conj: str | None = None      # AND / OR linking prev and next
+
+    def attach(clause: Clause):
+        nonlocal pending, conj
+        if pending is not None:
+            clause.occur = pending
+        elif conj == "AND":
+            clause.occur = MUST
+            if out and out[-1].occur == SHOULD:
+                out[-1].occur = MUST  # AND promotes the left side too
+        out.append(clause)
+        pending = None
+        conj = None
+
+    while i < len(tokens):
+        m = tokens[i]
+        g = m.lastgroup
+        if g == "rpar":
+            return out, i
+        i += 1
+        if g == "lpar":
+            children, i = _parse_clauses(tokens, i, q)
+            if i >= len(tokens) or tokens[i].lastgroup != "rpar":
+                raise QueryParseError("unbalanced '('")
+            i += 1
+            node = Clause(SHOULD, "group", children=children)
+            node.boost, i = _maybe_boost(tokens, i)
+            attach(node)
+        elif g == "and":
+            conj = "AND"
+        elif g == "or":
+            conj = "OR"
+        elif g == "not":
+            pending = MUST_NOT
+        elif g == "plus":
+            pending = MUST
+        elif g == "minus":
+            pending = MUST_NOT
+        elif g == "phrase":
+            node = Clause(SHOULD, "phrase", text=m.group("phrase_body"))
+            node.boost, i = _maybe_boost(tokens, i)
+            attach(node)
+        elif g == "word":
+            word = _strip_field(m.group("word"))
+            if word.endswith("*") and len(word) > 1:
+                node = Clause(SHOULD, "prefix", text=word[:-1])
+            elif "*" in word or word.startswith("~") or word.endswith("~"):
+                raise QueryParseError(f"unsupported wildcard/fuzzy: {word!r}")
+            else:
+                node = Clause(SHOULD, "term", text=word)
+            node.boost, i = _maybe_boost(tokens, i)
+            attach(node)
+        elif g == "boost":
+            raise QueryParseError("dangling boost '^'")
+    return out, i
+
+
+def _maybe_boost(tokens, i) -> tuple[float, int]:
+    if i < len(tokens) and tokens[i].lastgroup == "boost":
+        return float(tokens[i].group("boost_val")), i + 1
+    return 1.0, i

@@ -1,0 +1,232 @@
+"""Boolean-query execution for the Lucene classic parser syntax
+(``functions/queryparser.py``) — BooleanQuery semantics over the engine's
+index:
+
+* score = sum of matching MUST + SHOULD clause scores (deterministic
+  fold ordered by clause id, so results are bit-stable across
+  parallelism);
+* a doc must match EVERY MUST clause; with no MUST clause, at least one
+  SHOULD (implicit — only matching docs ever enter the union);
+* MUST_NOT clauses anti-join their doc sets away;
+* a top-level query with ONLY prohibited clauses matches everything
+  except them at score 1.0 — Solr's pure-negative rewrite
+  (MatchAllDocs + exclusions), which plain Lucene rejects;
+* term clauses score BM25 (idf x saturated tf x boost); phrase clauses
+  score PhraseQuery-style over the positions table; prefix clauses score
+  constant 1.0 x boost (MultiTermQuery constant-score rewrite); groups
+  recurse with their boost multiplying the combined score.
+
+Scale shape: every leaf is the corresponding single-clause plan (pushed
+term predicates, broadcast weight tables); the boolean combine is ONE
+union + hash aggregate on doc_id plus one anti-join per prohibited
+clause.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.analyzer import analyze_with_positions
+from ..functions.queryparser import MUST, MUST_NOT, SHOULD, Clause, parse_query
+from ..functions.similarity import B_DEFAULT, K1_DEFAULT, idf
+from .build import InvertedIndex
+from .score import analyze_query
+
+
+def boolean_query_topk(
+    index: InvertedIndex,
+    q: str,
+    k: int = 10,
+    positions: DataFrame | None = None,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    quantize: bool = True,
+) -> DataFrame:
+    """Parse and execute a Lucene-syntax query; top-k (doc_id, score)."""
+    spark = index.postings_flat.sparkSession
+    out_schema = "doc_id long, score double"
+    clauses = parse_query(q)
+    ev = _Evaluator(index, positions, k1, b, quantize)
+    scored = ev.combine(clauses, top_level=True)
+    if scored is None:
+        return spark.createDataFrame([], out_schema)
+    if index.deletes is not None:
+        scored = scored.join(index.deletes.select("doc_id"), "doc_id", "left_anti")
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", "score")
+    )
+
+
+class _Evaluator:
+    def __init__(self, index, positions, k1, b, quantize):
+        self.index = index
+        self.positions = positions
+        self.k1, self.b = k1, b
+        self.dl_col = "dl_quant" if quantize else "dl"
+        self._dfs_cache: dict[str, int] = {}
+        self._next_cid = 0
+
+    def _cid(self) -> int:
+        self._next_cid += 1
+        return self._next_cid
+
+    def _df_of(self, terms: list[str]) -> dict[str, int]:
+        missing = [t for t in terms if t not in self._dfs_cache]
+        if missing:
+            found = {
+                r["term"]: int(r["df"])
+                for r in self.index.term_stats.filter(F.col("term").isin(missing))
+                .select("term", "df")
+                .collect()
+            }
+            for t in missing:
+                self._dfs_cache[t] = found.get(t, 0)
+        return {t: self._dfs_cache[t] for t in terms}
+
+    def _sat(self, tf_col, w: float):
+        return (
+            F.lit(w)
+            * tf_col
+            / (
+                tf_col
+                + F.lit(self.k1)
+                * (
+                    F.lit(1.0 - self.b)
+                    + F.lit(self.b) * F.col(self.dl_col) / F.lit(self.index.avgdl)
+                )
+            )
+        )
+
+    # ---- leaf scorers: DataFrame (doc_id, s) or None when unmatchable ----
+
+    def term_scores(self, text: str, boost: float) -> DataFrame | None:
+        terms = analyze_query(text, self.index.profile)
+        if not terms:
+            return None
+        dfs = {t: d for t, d in self._df_of(terms).items() if d > 0}
+        if not dfs:
+            return None
+        # a single input word analyzing to several tokens behaves as a
+        # SHOULD group of them (documented divergence from the classic
+        # parser's generated phrase)
+        weights = [(t, boost * idf(d, self.index.n_docs)) for t, d in sorted(dfs.items())]
+        spark = self.index.postings_flat.sparkSession
+        wdf = spark.createDataFrame(weights, "term string, w double")
+        cand = self.index.postings_flat.filter(F.col("term").isin([t for t, _ in weights]))
+        scored = cand.join(F.broadcast(wdf), "term").select(
+            "doc_id", "term", self._sat(F.col("tf"), 1.0).alias("part"),
+            F.col("w"),
+        ).select("doc_id", "term", (F.col("w") * F.col("part")).alias("s"))
+        return scored.groupBy("doc_id").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "s"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["s"],
+            ).alias("s")
+        )
+
+    def phrase_scores(self, text: str, boost: float) -> DataFrame | None:
+        if self.positions is None:
+            raise ValueError(
+                "phrase clause requires a positions table "
+                "(operators.phrase.build_positions)"
+            )
+        from .phrase import phrase_match_counts
+
+        terms, poss = analyze_with_positions(text, self.index.profile)
+        if not terms:
+            return None
+        dfs = self._df_of(sorted(set(terms)))
+        if any(dfs.get(t, 0) == 0 for t in terms):
+            return None
+        gaps = [p - poss[0] for p in poss]
+        w = boost * sum(idf(dfs[t], self.index.n_docs) for t in terms)
+        hits = phrase_match_counts(self.positions, terms, gaps)
+        return hits.join(
+            self.index.doc_stats.select("doc_id", self.dl_col), "doc_id"
+        ).select("doc_id", self._sat(F.col("tfp"), w).alias("s"))
+
+    def prefix_scores(self, prefix: str, boost: float) -> DataFrame | None:
+        matching = self.index.term_stats.filter(
+            F.col("term").startswith(prefix)
+        ).select("term")
+        docs = (
+            self.index.postings_flat.join(F.broadcast(matching), "term", "left_semi")
+            .select("doc_id")
+            .distinct()
+        )
+        return docs.withColumn("s", F.lit(float(boost)))
+
+    def clause_scores(self, c: Clause) -> DataFrame | None:
+        if c.kind == "term":
+            return self.term_scores(c.text, c.boost)
+        if c.kind == "phrase":
+            return self.phrase_scores(c.text, c.boost)
+        if c.kind == "prefix":
+            return self.prefix_scores(c.text, c.boost)
+        if c.kind == "group":
+            sub = self.combine(c.children, top_level=False)
+            if sub is None:
+                return None
+            return sub.select(
+                "doc_id", (F.col("score") * F.lit(float(c.boost))).alias("s")
+            )
+        raise ValueError(c.kind)
+
+    # ---- boolean combine --------------------------------------------------
+
+    def combine(self, clauses: list[Clause], top_level: bool) -> DataFrame | None:
+        spark = self.index.postings_flat.sparkSession
+        parts: list[tuple[int, str, DataFrame]] = []
+        prohibited: list[DataFrame] = []
+        must_ids: list[int] = []
+        unmatchable_must = False
+        for c in clauses:
+            df = self.clause_scores(c)
+            if c.occur == MUST_NOT:
+                if df is not None:
+                    prohibited.append(df.select("doc_id"))
+                continue
+            if df is None:
+                if c.occur == MUST:
+                    unmatchable_must = True
+                continue
+            cid = self._cid()
+            if c.occur == MUST:
+                must_ids.append(cid)
+            parts.append((cid, c.occur, df))
+
+        if unmatchable_must:
+            return None
+        if not parts:
+            if top_level and prohibited:
+                # Solr's pure-negative rewrite: *:* minus the exclusions
+                base = self.index.doc_stats.select(
+                    "doc_id", F.lit(1.0).alias("score")
+                )
+                for p in prohibited:
+                    base = base.join(p, "doc_id", "left_anti")
+                return base
+            return None
+
+        unioned = None
+        for cid, _occur, df in parts:
+            piece = df.select("doc_id", F.lit(cid).alias("cid"), "s")
+            unioned = piece if unioned is None else unioned.unionByName(piece)
+        agg = unioned.groupBy("doc_id").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("cid", "s"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["s"],
+            ).alias("score"),
+            F.collect_set("cid").alias("cids"),
+        )
+        if must_ids:
+            need = F.array([F.lit(i) for i in must_ids])
+            agg = agg.filter(F.size(F.array_intersect(F.col("cids"), need)) == len(must_ids))
+        out = agg.select("doc_id", "score")
+        for p in prohibited:
+            out = out.join(p, "doc_id", "left_anti")
+        return out

@@ -273,6 +273,55 @@ def bm25_topk_synonyms(
     )
 
 
+def terms_component(
+    index: InvertedIndex,
+    prefix: str = "",
+    limit: int = 10,
+    min_df: int = 1,
+) -> DataFrame:
+    """Solr ``/terms`` handler (terms.prefix / terms.limit / terms.mincount):
+    vocabulary terms matching a prefix, highest df first (term asc
+    tie-break) — the autocomplete/suggest primitive. One pushed
+    StartsWith filter over the vocab-sized term_stats table + TakeOrdered."""
+    out = index.term_stats.select("term", "df")
+    if prefix:
+        out = out.filter(F.col("term").startswith(prefix))
+    return (
+        out.filter(F.col("df") >= min_df)
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(limit)
+    )
+
+
+def prefix_query_topk(
+    index: InvertedIndex,
+    prefix: str,
+    k: int = 10,
+) -> DataFrame:
+    """Lucene PrefixQuery (``q=merg*``) under Solr's default
+    MultiTermQuery CONSTANT_SCORE rewrite: every doc containing any term
+    with the prefix scores 1.0; ordering is the docID-asc tie-break.
+    Returns (doc_id, score). The expansion is a semi-join of postings
+    against the prefix-matching vocab slice — StartsWith pushes to both
+    scans."""
+    spark = index.postings_flat.sparkSession
+    if not prefix:
+        return spark.createDataFrame([], "doc_id long, score double")
+    matching = index.term_stats.filter(F.col("term").startswith(prefix)).select("term")
+    docs = (
+        index.postings_flat.join(F.broadcast(matching), "term", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    if index.deletes is not None:
+        docs = docs.join(index.deletes.select("doc_id"), "doc_id", "left_anti")
+    return (
+        docs.withColumn("score", F.lit(1.0))
+        .orderBy(F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
 def bm25_grouped_topk(
     index: InvertedIndex,
     query: str,

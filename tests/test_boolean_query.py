@@ -1,0 +1,166 @@
+"""Lucene classic query-parser syntax + BooleanQuery execution."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from solr_sematic_importer_spark.functions.queryparser import (
+    MUST,
+    MUST_NOT,
+    SHOULD,
+    QueryParseError,
+    parse_query,
+)
+from solr_sematic_importer_spark.operators.boolean_query import boolean_query_topk
+from solr_sematic_importer_spark.operators.build import build_index
+from solr_sematic_importer_spark.operators.phrase import build_positions
+from solr_sematic_importer_spark.operators.score import (
+    bm25_conjunction_topk,
+    bm25_topk,
+)
+
+TEXTS = [
+    (0, "merge sort beats bubble sort on big workloads"),
+    (1, "sort merge join is a classic merge strategy"),
+    (2, "merge only here nothing else matters"),
+    (3, "sort only here nothing else matters"),
+    (4, "window functions rank rows smoothly"),
+    (5, "merge sort window all three appear"),
+    (6, "bubble things pop without order"),
+]
+
+
+# ---------------------------------------------------------------------------
+# parser
+# ---------------------------------------------------------------------------
+
+
+def test_parse_occurs_and_kinds():
+    cs = parse_query('+alpha -beta gamma "delta epsilon" zeta* (eta OR theta)')
+    assert [(c.occur, c.kind) for c in cs] == [
+        (MUST, "term"), (MUST_NOT, "term"), (SHOULD, "term"),
+        (SHOULD, "phrase"), (SHOULD, "prefix"), (SHOULD, "group"),
+    ]
+    assert cs[3].text == "delta epsilon" and cs[4].text == "zeta"
+    assert [c.text for c in cs[5].children] == ["eta", "theta"]
+
+
+def test_parse_and_promotes_both_sides():
+    cs = parse_query("alpha AND beta gamma")
+    assert [(c.text, c.occur) for c in cs] == [
+        ("alpha", MUST), ("beta", MUST), ("gamma", SHOULD)
+    ]
+    cs2 = parse_query("alpha OR beta")
+    assert [(c.text, c.occur) for c in cs2] == [("alpha", SHOULD), ("beta", SHOULD)]
+    cs3 = parse_query("NOT alpha beta")
+    assert [(c.text, c.occur) for c in cs3] == [("alpha", MUST_NOT), ("beta", SHOULD)]
+
+
+def test_parse_boost_and_field():
+    cs = parse_query("text:alpha^2.5 _text_:beta")
+    assert cs[0].text == "alpha" and cs[0].boost == 2.5
+    assert cs[1].text == "beta"
+    with pytest.raises(QueryParseError, match="not addressable"):
+        parse_query("title:alpha")
+    with pytest.raises(QueryParseError, match="unbalanced"):
+        parse_query("(alpha")
+    with pytest.raises(QueryParseError, match="wildcard"):
+        parse_query("al*pha")
+
+
+# ---------------------------------------------------------------------------
+# execution
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def idx(spark):
+    docs = spark.createDataFrame(TEXTS, "doc_id long, text string")
+    index = build_index(
+        docs, text_col="text", key_cols=(), profile="simple", doc_id_col="doc_id"
+    )
+    pos = build_positions(docs, profile="simple")
+    return index, pos
+
+
+def _rows(df):
+    return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+
+def test_plain_or_matches_bm25_topk(idx):
+    index, _ = idx
+    a = _rows(boolean_query_topk(index, "merge sort window", k=10, quantize=False))
+    b = _rows(bm25_topk(index, "merge sort window", k=10, quantize=False)
+              .select("doc_id", "score"))
+    assert [d for d, _ in a] == [d for d, _ in b]
+    for (_, sa), (_, sb) in zip(a, b):
+        assert sa == pytest.approx(sb, abs=1e-12)
+
+
+def test_and_matches_conjunction(idx):
+    index, _ = idx
+    a = _rows(boolean_query_topk(index, "merge AND sort", k=10, quantize=False))
+    b = _rows(bm25_conjunction_topk(index, "merge sort", k=10, quantize=False))
+    assert [d for d, _ in a] == [d for d, _ in b]
+    for (_, sa), (_, sb) in zip(a, b):
+        assert sa == pytest.approx(sb, abs=1e-12)
+
+
+def test_required_plus_optional(idx):
+    index, _ = idx
+    got = boolean_query_topk(index, "+window merge", k=10, quantize=False).collect()
+    ids = [r["doc_id"] for r in got]
+    assert set(ids) == {4, 5}      # window required
+    assert ids[0] == 5             # 5 also matches the optional "merge"
+
+
+def test_prohibited(idx):
+    index, _ = idx
+    ids = [r["doc_id"] for r in
+           boolean_query_topk(index, "merge -sort", k=10, quantize=False).collect()]
+    assert set(ids) == {2}
+
+
+def test_pure_negative_top_level(idx):
+    index, _ = idx
+    got = boolean_query_topk(index, "-merge", k=10, quantize=False).collect()
+    assert {r["doc_id"] for r in got} == {3, 4, 6}
+    assert all(r["score"] == 1.0 for r in got)
+
+
+def test_group_and(idx):
+    index, _ = idx
+    ids = {r["doc_id"] for r in
+           boolean_query_topk(index, "merge AND (window OR bubble)",
+                              k=10, quantize=False).collect()}
+    assert ids == {0, 5}
+
+
+def test_phrase_clause_in_boolean(idx):
+    index, pos = idx
+    ids = [r["doc_id"] for r in
+           boolean_query_topk(index, '+"merge sort" window', k=10,
+                              positions=pos, quantize=False).collect()]
+    assert set(ids) == {0, 5}
+    assert ids[0] == 5  # the phrase AND the optional window
+    with pytest.raises(ValueError, match="positions"):
+        boolean_query_topk(index, '"merge sort"', k=10)
+
+
+def test_prefix_clause_and_boost(idx):
+    index, _ = idx
+    got = {r["doc_id"]: r["score"] for r in
+           boolean_query_topk(index, "bubb*", k=10, quantize=False).collect()}
+    assert set(got) == {0, 6} and all(s == 1.0 for s in got.values())
+    # boost scales the term contribution exactly
+    plain = {r["doc_id"]: r["score"] for r in
+             boolean_query_topk(index, "window", k=10, quantize=False).collect()}
+    boosted = {r["doc_id"]: r["score"] for r in
+               boolean_query_topk(index, "window^3", k=10, quantize=False).collect()}
+    for d in plain:
+        assert boosted[d] == pytest.approx(3 * plain[d], rel=1e-12)
+
+
+def test_unmatchable_must_empty(idx):
+    index, _ = idx
+    assert boolean_query_topk(index, "+zzzmissing merge", k=10).count() == 0
+    assert boolean_query_topk(index, "zzzmissing", k=10).count() == 0
