@@ -9,14 +9,18 @@ collection user types daily:
 * ``"quoted phrase"`` phrase clause (positions required to execute)
 * ``(grouped clauses)`` nested boolean query
 * ``prefix*`` PrefixQuery (constant-score rewrite inside the boolean)
+* ``[alpha TO beta]`` / ``{alpha TO beta}`` TermRangeQuery over the term
+  dictionary (inclusive / exclusive bounds, ``*`` = open end;
+  constant-score rewrite)
 * ``term^2.5`` boost
 * ``field:term`` — only the default search field is addressable (the
   engine indexes one analyzed field, like the reference's ``_text_``
   catch-all); any other field name raises.
 
-Out of scope (documented): fuzzy ``~``, ranges ``[a TO b]`` (use fq
-filters), leading wildcards. The parser produces a plain AST; execution
-lives in ``operators/boolean_query.py``.
+Out of scope (documented): fuzzy ``~``, leading wildcards. Numeric/date
+ranges belong on fq metadata filters (``bm25_topk(extra_filter=...)``).
+The parser produces a plain AST; execution lives in
+``operators/boolean_query.py``.
 
 Occur resolution follows the classic parser's practical behavior: an
 explicit +/- wins; otherwise ``AND`` promotes BOTH neighbors to MUST,
@@ -38,7 +42,8 @@ _TOKEN = re.compile(
     (?P<and>AND\b) | (?P<or>OR\b) | (?P<not>NOT\b) |
     (?P<plus>\+) | (?P<minus>-) |
     (?P<phrase>"(?P<phrase_body>[^"]*)") |
-    (?P<word>[^\s()+\-"^]+) |
+    (?P<range>(?P<lb>[\[{])\s*(?P<lo>[^\s\]}]+)\s+TO\s+(?P<hi>[^\s\]}]+)\s*(?P<rb>[\]}])) |
+    (?P<word>[^\s()+\-"^\[\]{}]+) |
     (?P<boost>\^(?P<boost_val>\d+(?:\.\d+)?)) |
     (?P<ws>\s+)
     """,
@@ -49,10 +54,14 @@ _TOKEN = re.compile(
 @dataclass
 class Clause:
     occur: str            # SHOULD / MUST / MUST_NOT
-    kind: str             # term / phrase / prefix / group
+    kind: str             # term / phrase / prefix / range / group
     text: str = ""        # raw term / phrase body / prefix (no '*')
     boost: float = 1.0
     children: list = field(default_factory=list)  # for kind == "group"
+    lo: str | None = None          # range bounds; None = open end
+    hi: str | None = None
+    lo_inc: bool = True
+    hi_inc: bool = True
 
 
 class QueryParseError(ValueError):
@@ -132,6 +141,17 @@ def _parse_clauses(tokens, i, q) -> tuple[list[Clause], int]:
             pending = MUST_NOT
         elif g == "phrase":
             node = Clause(SHOULD, "phrase", text=m.group("phrase_body"))
+            node.boost, i = _maybe_boost(tokens, i)
+            attach(node)
+        elif g == "range":
+            lo, hi = m.group("lo"), m.group("hi")
+            node = Clause(
+                SHOULD, "range",
+                lo=None if lo == "*" else lo.lower(),
+                hi=None if hi == "*" else hi.lower(),
+                lo_inc=m.group("lb") == "[",
+                hi_inc=m.group("rb") == "]",
+            )
             node.boost, i = _maybe_boost(tokens, i)
             attach(node)
         elif g == "word":

@@ -152,8 +152,28 @@ class _Evaluator:
         matching = self.index.term_stats.filter(
             F.col("term").startswith(prefix)
         ).select("term")
+        return self._constant_docs(matching, boost)
+
+    def range_scores(self, c: Clause) -> DataFrame | None:
+        """TermRangeQuery: vocab slice between the bounds (lexicographic,
+        like Lucene's BytesRef order on the term dictionary),
+        constant-score rewrite."""
+        matching = self.index.term_stats
+        if c.lo is not None:
+            matching = matching.filter(
+                F.col("term") >= c.lo if c.lo_inc else F.col("term") > c.lo
+            )
+        if c.hi is not None:
+            matching = matching.filter(
+                F.col("term") <= c.hi if c.hi_inc else F.col("term") < c.hi
+            )
+        return self._constant_docs(matching.select("term"), c.boost)
+
+    def _constant_docs(self, matching_terms: DataFrame, boost: float) -> DataFrame:
         docs = (
-            self.index.postings_flat.join(F.broadcast(matching), "term", "left_semi")
+            self.index.postings_flat.join(
+                F.broadcast(matching_terms), "term", "left_semi"
+            )
             .select("doc_id")
             .distinct()
         )
@@ -166,6 +186,8 @@ class _Evaluator:
             return self.phrase_scores(c.text, c.boost)
         if c.kind == "prefix":
             return self.prefix_scores(c.text, c.boost)
+        if c.kind == "range":
+            return self.range_scores(c)
         if c.kind == "group":
             sub = self.combine(c.children, top_level=False)
             if sub is None:

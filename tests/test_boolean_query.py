@@ -160,6 +160,30 @@ def test_prefix_clause_and_boost(idx):
         assert boosted[d] == pytest.approx(3 * plain[d], rel=1e-12)
 
 
+def test_term_range_query(idx):
+    """[a TO m] constant-score over the term dictionary; exclusive bounds
+    with {}; * = open end."""
+    index, _ = idx
+    cs = parse_query("[bubble TO merge]")
+    assert cs[0].kind == "range" and cs[0].lo == "bubble" and cs[0].hi_inc
+    # docs containing any term in [only TO sort} — 'only','order','pop',
+    # 'rank','rows','smoothly' qualify; 'sort' itself excluded
+    got = {r["doc_id"] for r in
+           boolean_query_topk(index, "{nothing TO sort}", k=20, quantize=False).collect()}
+    want = set()
+    for did, text in TEXTS:
+        toks = set(text.split())
+        if any("nothing" < t < "sort" for t in toks):
+            want.add(did)
+    assert got == want
+    # open-ended range as an OPTIONAL clause beside a required term: both
+    # window docs match; doc 5 ranks first (it also matches the range via
+    # 'all' <= 'b' and collects its constant 1.0)
+    rows = boolean_query_topk(index, "+window [* TO b]", k=20, quantize=False).collect()
+    assert {r["doc_id"] for r in rows} == {4, 5}
+    assert rows[0]["doc_id"] == 5  # the range's constant 1.0 outweighs dl deltas
+
+
 def test_unmatchable_must_empty(idx):
     index, _ = idx
     assert boolean_query_topk(index, "+zzzmissing merge", k=10).count() == 0
