@@ -149,6 +149,28 @@ def main() -> None:
     timed("bm25_documents", lambda: bm25_topk(didx, "merge sort window", k=10,
                                               quantize=False).collect())
 
+    # --- round-2 query surfaces over the documents index -------------------
+    from solr_sematic_importer_spark.operators.boolean_query import (
+        boolean_query_topk,
+    )
+    from solr_sematic_importer_spark.operators.phrase import (
+        bm25_phrase_topk,
+        build_positions,
+    )
+
+    pos = build_positions(docs, profile="simple").persist()
+    pos.count()
+    timed(
+        "bm25_phrase",
+        lambda: bm25_phrase_topk(didx, pos, "merge group", k=10,
+                                 quantize=False).collect(),
+    )
+    timed(
+        "boolean_query",
+        lambda: boolean_query_topk(didx, "+merge sort -window", k=10,
+                                   quantize=False).collect(),
+    )
+
     # --- dedup: minhash + LSH over documents -------------------------------
     def _dedup():
         sh = shingles(docs, n=3)
