@@ -718,6 +718,46 @@ def q_highlight_topk(spark, sf_dir):
     return highlight(page, Q_OR, profile="simple", frag_size=80)
 
 
+def q_streaming_dedup(spark, sf_dir):
+    """Stateful streaming exact-dedup (applyInPandasWithState keyed by
+    content hash): the duplicated documents slice arrives as TWO
+    micro-batches; duplicates die within AND across batches. Rows-only
+    (stateful streaming is not SQL-expressible)."""
+    import tempfile
+    import uuid
+
+    from solr_sematic_importer_spark.streaming.windowed import dedup_stream
+
+    _prepare(spark)
+    src = tempfile.mkdtemp(prefix="streamdocs_")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs.filter(F.col("doc_id") < 250).coalesce(1).write.mode("append").parquet(src)
+    # second batch re-ingests an overlapping slice under remapped ids
+    docs.filter(F.col("doc_id") < 100).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="streamckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
+    return spark.table(name).select("doc_id", "text_hash")
+
+
 def q_media_frames(spark, sf_dir):
     from solr_sematic_importer_spark.operators.multimodal import (
         sample_frames,
@@ -794,6 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_hnsw_topk": q_ann_hnsw,
         "chunk_embed_ann_topk": q_chunk_embed_ann,
         "highlight_topk": q_highlight_topk,
+        "streaming_dedup": q_streaming_dedup,
     }
 
 

@@ -117,6 +117,30 @@ def test_wand_k_larger_than_hits(blocked):
     assert len(got) == df_z
 
 
+def test_hot_term_skew_bounded_by_bucket_salt(spark):
+    """The skew guarantee (SURVEY §4.1): a term occurring in EVERY doc
+    (the empty-stopword 'the' scenario at 10^12 scale) still never
+    produces an encode group larger than the bucket width — the bucket IS
+    the salt, so group size is structurally bounded, not data-dependent."""
+    n = 2000
+    docs = spark.createDataFrame(
+        [(i, f"hot filler{i} filler{i%7}") for i in range(n)],
+        "doc_id long, text string",
+    )
+    idx = build_index(
+        docs, text_col="text", key_cols=(), profile="simple", doc_id_col="doc_id"
+    )
+    blocks = build_block_postings(idx, bucket_bits=6)  # 64-doc buckets
+    hot = blocks.filter(F.col("term") == "hot")
+    per_group = hot.groupBy("bucket_id").agg(F.sum("cnt").alias("n")).collect()
+    assert len(per_group) == (n + 63) // 64          # spread over all buckets
+    assert all(r["n"] <= 64 for r in per_group)      # hard bound per group
+    assert sum(r["n"] for r in per_group) == n       # nothing lost
+    # and the hot-term query still ranks fine over the salted layout
+    got = bm25_topk_wand(idx, "hot", k=5).collect()
+    assert len(got) == 5
+
+
 def test_build_and_write_index_matches_memory_path(spark, tmp_path, blocked):
     """The scale-path disk build (one shuffle, vectorized partition
     encoder, term_stats from block metadata, blocks-only storage) must be
