@@ -208,6 +208,44 @@ def q_bm25_grouped(spark, sf_dir):
     return top.select("grp", "doc_id", F.round("score", 4).alias("score"))
 
 
+def q_cursor_page(spark, sf_dir):
+    """Solr cursorMark deep paging: page 2 fetched via the keyset cursor
+    (last row of page 1), NOT offset — page N costs page-1 work at scale.
+    Must equal the offset-10 slice value-for-value."""
+    from solr_sematic_importer_spark.operators.score import (
+        bm25_topk,
+        bm25_topk_cursor,
+    )
+
+    idx = _doc_index(spark, sf_dir)
+    page1 = bm25_topk(idx, Q_OR, k=10, quantize=False).select("doc_id", "score").collect()
+    cur = (float(page1[-1]["score"]), int(page1[-1]["doc_id"]))
+    page2 = bm25_topk_cursor(idx, Q_OR, k=10, cursor=cur, quantize=False)
+    return page2.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_spellcheck(spark, sf_dir):
+    """Solr spellcheck component: nearest vocabulary terms to a typo by
+    Levenshtein distance, frequency-ranked."""
+    from solr_sematic_importer_spark.operators.score import spellcheck_terms
+
+    idx = _doc_index(spark, sf_dir)
+    return spellcheck_terms(idx, "mergr", max_distance=2, limit=5)
+
+
+def q_sort_by_field(spark, sf_dir):
+    """Solr sort=field asc: the match set is the query's, the order is a
+    stored field's."""
+    from solr_sematic_importer_spark.operators.score import bm25_sorted_by_field
+
+    idx = _doc_index(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    top = bm25_sorted_by_field(
+        idx, Q_OR, docs, "source", ascending=True, k=10, quantize=False
+    )
+    return top.select("doc_id", "source", F.round("score", 4).alias("score"))
+
+
 def q_lucene_syntax_query(spark, sf_dir):
     """Lucene classic parser syntax end-to-end (the /select q= grammar,
     solrconfig.xml:667-670 lucene defType): '+merge sort -window' ->
@@ -793,6 +831,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase": q_bm25_phrase,
         "bm25_synonym_query": q_bm25_synonyms,
         "bm25_grouped_topk": q_bm25_grouped,
+        "cursor_page": q_cursor_page,
+        "spellcheck": q_spellcheck,
+        "sort_by_field": q_sort_by_field,
         "lucene_syntax_query": q_lucene_syntax_query,
         "terms_component": q_terms_component,
         "prefix_query": q_prefix_query,
@@ -1023,6 +1064,31 @@ g AS (
 )
 SELECT grp, doc_id, round(raw_score, 4) AS score
 FROM g WHERE rn = 1 ORDER BY raw_score DESC, doc_id ASC LIMIT 10""",
+        "cursor_page": _bm25_oracle(Q_OR.split(), offset=10),
+        "spellcheck": f"""
+            WITH {_TF},
+            v AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)
+            SELECT term, df, levenshtein(term, 'mergr')::INT AS distance
+            FROM v WHERE levenshtein(term, 'mergr') <= 2
+            ORDER BY distance ASC, df DESC, term ASC LIMIT 5""",
+        "sort_by_field": f"""
+WITH {_TF}{_DL},
+qt AS (SELECT unnest(['merge', 'sort', 'window']) AS term),
+dft AS (
+    SELECT term, count(*)::BIGINT AS df FROM tf
+    WHERE term IN (SELECT term FROM qt) GROUP BY term
+),
+scores AS (
+    SELECT tf.doc_id,
+           sum(ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+               * tf.tf / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl))
+              ) AS raw_score
+    FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+    GROUP BY tf.doc_id
+)
+SELECT sc.doc_id, d.source, round(sc.raw_score, 4) AS score
+FROM scores sc JOIN documents d USING (doc_id)
+ORDER BY d.source ASC, sc.doc_id ASC LIMIT 10""",
         "lucene_syntax_query": f"""
 WITH {_TF}{_DL},
 qt AS (SELECT unnest(['merge', 'sort']) AS term),

@@ -273,6 +273,95 @@ def bm25_topk_synonyms(
     )
 
 
+def bm25_topk_cursor(
+    index: InvertedIndex,
+    query: str,
+    k: int = 10,
+    cursor: tuple[float, int] | None = None,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    quantize: bool = True,
+) -> DataFrame:
+    """Solr cursorMark deep paging: keyset pagination on the total order
+    (score desc, doc_id asc). ``cursor`` is the LAST row of the previous
+    page; the next page filters strictly past it BEFORE the top-k, so
+    page N costs the same as page 1 — unlike offset paging, which
+    recomputes and discards N*k rows (Solr added cursorMark for exactly
+    this reason). Returns (doc_id, score)."""
+    spark = index.postings_flat.sparkSession
+    per_doc = score_or_docs(index, query, k1=k1, b=b, quantize=quantize)
+    if per_doc is None:
+        return spark.createDataFrame([], "doc_id long, score double")
+    if cursor is not None:
+        last_score, last_doc = float(cursor[0]), int(cursor[1])
+        per_doc = per_doc.filter(
+            (F.col("score") < last_score)
+            | ((F.col("score") == last_score) & (F.col("doc_id") > last_doc))
+        )
+    return (
+        per_doc.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", "score")
+    )
+
+
+def spellcheck_terms(
+    index: InvertedIndex,
+    word: str,
+    max_distance: int = 2,
+    limit: int = 5,
+) -> DataFrame:
+    """Solr spellcheck component ("did you mean"): vocabulary terms within
+    ``max_distance`` Levenshtein edits of the (analyzed) input, most
+    frequent first — JVM ``levenshtein`` over the vocab-sized term_stats
+    table with a length-window pre-filter so the distance function runs on
+    a sliver of the dictionary. Returns (term, df, distance)."""
+    analyzed = analyze_query(word, index.profile)
+    target = analyzed[0] if analyzed else word.lower()
+    n = len(target)
+    cand = index.term_stats.filter(
+        (F.length("term") >= n - max_distance)
+        & (F.length("term") <= n + max_distance)
+    )
+    return (
+        cand.select(
+            "term", "df", F.levenshtein(F.col("term"), F.lit(target)).alias("distance")
+        )
+        .filter(F.col("distance") <= max_distance)
+        .orderBy(F.col("distance").asc(), F.col("df").desc(), F.col("term").asc())
+        .limit(limit)
+    )
+
+
+def bm25_sorted_by_field(
+    index: InvertedIndex,
+    query: str,
+    sort_df: DataFrame,
+    sort_col: str,
+    ascending: bool = True,
+    k: int = 10,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    quantize: bool = True,
+) -> DataFrame:
+    """Solr ``sort=field asc|desc``: the matching set is the query's, the
+    ORDER is a stored field's (doc_id tie-break) — a join to the field
+    table plus TakeOrderedAndProject; scores still returned."""
+    spark = index.postings_flat.sparkSession
+    per_doc = score_or_docs(index, query, k1=k1, b=b, quantize=quantize)
+    if per_doc is None:
+        return spark.createDataFrame(
+            [], f"doc_id long, {sort_col} {dict(sort_df.dtypes)[sort_col]}, score double"
+        )
+    joined = per_doc.join(sort_df.select("doc_id", sort_col), "doc_id")
+    key = F.col(sort_col).asc() if ascending else F.col(sort_col).desc()
+    return (
+        joined.orderBy(key, F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", sort_col, "score")
+    )
+
+
 def terms_component(
     index: InvertedIndex,
     prefix: str = "",

@@ -46,6 +46,24 @@ def test_exclude_terms(idx):
     assert got and all(r["doc_id"] not in banned for r in got)
 
 
+def test_cursor_paging_reconstructs_full_ranking(idx):
+    """Walking cursorMark pages concatenates to exactly the one-shot
+    top-N ranking — no gaps, no repeats, across tied scores."""
+    from solr_sematic_importer_spark.operators.score import bm25_topk_cursor
+
+    full = bm25_topk(idx, "you one word", k=30).select("doc_id", "score").collect()
+    pages, cur = [], None
+    for _ in range(3):
+        page = bm25_topk_cursor(idx, "you one word", k=10, cursor=cur).collect()
+        if not page:
+            break
+        pages.extend(page)
+        cur = (float(page[-1]["score"]), int(page[-1]["doc_id"]))
+    assert [(r["doc_id"], r["score"]) for r in pages] == [
+        (r["doc_id"], r["score"]) for r in full
+    ]
+
+
 def test_grouped_topk_heads(spark, idx):
     """Solr result grouping: one head per group, ordered by head score,
     identical to a manual window over the full scored set."""
