@@ -184,6 +184,32 @@ def test_term_range_query(idx):
     assert rows[0]["doc_id"] == 5  # the range's constant 1.0 outweighs dl deltas
 
 
+def test_parser_fuzz_never_crashes_unexpectedly():
+    """Any input either parses or raises QueryParseError — no other
+    exception class escapes (a query string is user input)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet='abcxyz ()+-"^*[]{}:AND OR NOT TO 0123456789.', max_size=60))
+    def run(q):
+        try:
+            clauses = parse_query(q)
+        except QueryParseError:
+            return
+        for c in _walk(clauses):
+            assert c.occur in (SHOULD, MUST, MUST_NOT)
+            assert c.kind in ("term", "phrase", "prefix", "range", "group")
+            assert c.boost >= 0  # ^0 is legal (zeroes the contribution)
+
+    def _walk(cs):
+        for c in cs:
+            yield c
+            yield from _walk(c.children)
+
+    run()
+
+
 def test_unmatchable_must_empty(idx):
     index, _ = idx
     assert boolean_query_topk(index, "+zzzmissing merge", k=10).count() == 0
