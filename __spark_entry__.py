@@ -311,6 +311,18 @@ def q_facet_lang(spark, sf_dir):
     return _docs(spark, sf_dir).groupBy("lang").agg(F.count("*").alias("cnt"))
 
 
+def q_facet_on_query(spark, sf_dir):
+    """Solr facet semantics proper (q=...&facet.field=lang): counts over
+    the QUERY'S match set, not the corpus."""
+    from solr_sematic_importer_spark.operators.score import facet_on_query
+
+    idx = _doc_index(spark, sf_dir)
+    return facet_on_query(
+        idx, Q_OR, _docs(spark, sf_dir).select("doc_id", "lang"), "lang",
+        quantize=False,
+    )
+
+
 def q_facet_range_day(spark, sf_dir):
     """Solr facet.range over a date field: day-bucketed counts (the range
     variant of A2/Q5; same partial+final hash agg, bucketing is a pure
@@ -842,6 +854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_lang": q_facet_lang,
         "facet_source": q_facet_source,
         "facet_range_day": q_facet_range_day,
+        "facet_on_query": q_facet_on_query,
         "chunks_char": q_chunks,
         "chunk_parent_join": q_chunk_parent_join,
         "chunk_stats": q_chunk_stats,
@@ -1152,6 +1165,14 @@ ORDER BY raw_score DESC, doc_id ASC LIMIT 10""",
             SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
                    count(*)::BIGINT AS cnt
             FROM events GROUP BY 1""",
+        "facet_on_query": f"""
+            WITH {_TF}
+            SELECT d.lang, count(*)::BIGINT AS cnt
+            FROM documents d
+            WHERE d.doc_id IN (
+                SELECT DISTINCT doc_id FROM tf
+                WHERE term IN ('merge', 'sort', 'window'))
+            GROUP BY d.lang""",
         "facet_source": "SELECT source, count(*)::BIGINT AS cnt FROM documents GROUP BY source",
         "chunks_char": """
             WITH n AS (

@@ -362,6 +362,34 @@ def bm25_sorted_by_field(
     )
 
 
+def facet_on_query(
+    index: InvertedIndex,
+    query: str,
+    facet_df: DataFrame,
+    facet_col: str,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    quantize: bool = True,
+) -> DataFrame:
+    """Solr facet semantics proper: facet counts are computed over the
+    QUERY'S matching document set (``q=...&facet.field=X``), not the
+    whole corpus — the match set semi-joins the facet table, then one
+    partial+final hash agg. Returns (facet value, cnt)."""
+    spark = index.postings_flat.sparkSession
+    per_doc = score_or_docs(index, query, k1=k1, b=b, quantize=quantize)
+    if per_doc is None:
+        return spark.createDataFrame(
+            [], f"{facet_col} {dict(facet_df.dtypes)[facet_col]}, cnt long"
+        )
+    matched = per_doc.select("doc_id")
+    return (
+        facet_df.select("doc_id", facet_col)
+        .join(matched, "doc_id", "left_semi")
+        .groupBy(facet_col)
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
 def terms_component(
     index: InvertedIndex,
     prefix: str = "",

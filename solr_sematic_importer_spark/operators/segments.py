@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass
+from typing import Sequence
 
 import pandas as pd
 from pyspark.errors import AnalysisException
@@ -386,6 +387,37 @@ def compact(
 
         shutil.rmtree(_deletes_path(path), ignore_errors=True)
     return out_dir
+
+
+def update_documents(
+    spark: SparkSession,
+    path: str,
+    segment_key: str,
+    new_docs: DataFrame,
+    match_on: Sequence[str] = ("conv_id", "turn_idx"),
+    text_col: str = "text",
+    key_cols=("conv_id", "turn_idx"),
+    profile: str = "text_en",
+    bucket_bits: int = DEFAULT_BUCKET_BITS,
+) -> AppendResult:
+    """Solr update-by-uniqueKey semantics (re-adding a doc with an
+    existing id replaces it; the reference's whole pipeline relies on
+    this — re-running a crawl overwrites by ``id``): expressed natively
+    on the log-structured index as DELETE the old rows (durable deletion
+    vector on the natural key) + APPEND the new slice as a segment. The
+    old versions stop matching immediately; ``compact`` later drops them
+    physically. Returns the append result."""
+    idx = read_segmented_index(spark, path)
+    keys = new_docs.select(*match_on).distinct()
+    victims = idx.doc_stats.join(F.broadcast(keys), list(match_on), "left_semi").select(
+        "doc_id"
+    )
+    record_deletes(spark, path, victims)
+    return append_segment(
+        spark, path, segment_key, new_docs,
+        text_col=text_col, key_cols=key_cols, profile=profile,
+        bucket_bits=bucket_bits,
+    )
 
 
 def gc_segments(spark: SparkSession, path: str) -> list[str]:

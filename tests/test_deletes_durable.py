@@ -143,6 +143,58 @@ def test_compact_applies_deletes_physically(spark, tmp_path):
     assert victim not in _ids(bm25_topk_wand(after, Q, k=5).collect())
 
 
+def test_update_documents_replaces_by_key(spark, tmp_path):
+    """Solr update-by-uniqueKey: re-adding docs with existing keys
+    replaces them — old versions stop matching immediately, new ones
+    match; compact drops the old rows physically."""
+    from solr_sematic_importer_spark.operators.segments import (
+        append_segment,
+        compact,
+        read_segmented_index,
+        update_documents,
+    )
+
+    path = str(tmp_path / "upd")
+    full = synthetic_transcripts(spark, 30).persist()
+    append_segment(spark, path, "base", full, bucket_bits=8)
+
+    # replace one conversation's turns with fresh text
+    victim_conv = full.first()["conv_id"]
+    old_turns = full.filter(F.col("conv_id") == victim_conv)
+    n_old = old_turns.count()
+    new_turns = old_turns.withColumn(
+        "text", F.lit("xylophone replacement utterance entirely new")
+    )
+    r = update_documents(spark, path, "upd1", new_turns, bucket_bits=8)
+    assert not r.skipped and r.n_docs == n_old
+
+    idx = read_segmented_index(spark, path)
+    hits = bm25_topk(idx, "xylophone replacement", k=50).collect()
+    convs = {
+        row["conv_id"]
+        for row in idx.doc_stats.join(
+            spark.createDataFrame([(h["doc_id"],) for h in hits], "doc_id long"),
+            "doc_id",
+        ).collect()
+    }
+    assert convs == {victim_conv}
+    # the OLD doc ids of that conversation are dead
+    old_ids = {r2["doc_id"] for r2 in
+               idx.doc_stats.filter(
+                   (F.col("conv_id") == victim_conv) & (F.col("doc_id") < r.doc_id_offset)
+               ).collect()}
+    live = {r2["doc_id"] for r2 in hits}
+    assert not (old_ids & live)
+
+    compact(spark, path)
+    after = read_segmented_index(spark, path)
+    # physically: one copy of the conversation remains
+    assert after.doc_stats.filter(F.col("conv_id") == victim_conv).count() == n_old
+    assert after.n_docs == full.count()
+    again = bm25_topk(after, "xylophone replacement", k=50).collect()
+    assert {h["doc_id"] for h in again} == live
+
+
 def test_mixed_bucket_bits_rejected(spark, tmp_path):
     from solr_sematic_importer_spark.operators.segments import (
         append_segment,
