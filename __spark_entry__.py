@@ -536,6 +536,31 @@ def q_protobuf_wire(spark, sf_dir):
     )
 
 
+def q_bpe_token_count(spark, sf_dir):
+    """LLM token budgeting: whitespace tokens + GPT-2-regex-style piece
+    count (lookahead-free pattern shared verbatim with the oracle)."""
+    from solr_sematic_importer_spark.operators.textstats import bpe_ish_token_count
+
+    return bpe_ish_token_count(_docs(spark, sf_dir))
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs over seeded duplicates (vec_id<20
+    re-ingested under remapped ids -> cosine 1.0 pairs guaranteed
+    non-vacuous). Exact blocking-free variant so DuckDB verifies
+    value-for-value; the LSH-bucketed scale path is test-verified to
+    find the same seeded pairs without the all-pairs join."""
+    from solr_sematic_importer_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dup = emb.filter(F.col("vec_id") < 20).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1_000_000)
+    )
+    both = emb.unionByName(dup)
+    dim = len(emb.first()["embedding"])
+    return embedding_near_dup_pairs(both, dim, threshold=0.99, exact=True)
+
+
 def q_ann_cosine(spark, sf_dir):
     from solr_sematic_importer_spark.operators.similarity_search import brute_force_cosine_topk
 
@@ -868,6 +893,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_score": q_quality,
         "ngram_jaccard": q_ngram_jaccard,
+        "bpe_token_count": q_bpe_token_count,
+        "embedding_near_dup": q_embedding_near_dup,
         "ann_cosine_topk": q_ann_cosine,
         "truncate_field": q_truncate,
         "solr_date_format": q_solr_dates,
@@ -971,6 +998,18 @@ FROM scores {del_where} ORDER BY raw_score DESC, doc_id ASC LIMIT {k} OFFSET {of
 
 
 _STOPWORDS_SQL = None
+
+
+def _bpe_count_oracle() -> str:
+    from solr_sematic_importer_spark.operators.textstats import BPE_ISH_PATTERN
+
+    pat = BPE_ISH_PATTERN.replace("'", "''")
+    return f"""
+        SELECT doc_id,
+               len(list_filter(string_split_regex(text, '\\s+'),
+                               x -> x <> ''))::INT AS n_ws_tokens,
+               len(regexp_extract_all(text, '{pat}'))::INT AS n_bpe_ish
+        FROM documents"""
 
 
 def _stopword_list_sql() -> str:
@@ -1304,6 +1343,20 @@ ORDER BY raw_score DESC, doc_id ASC LIMIT 10""",
             JOIN sz sa ON sa.doc_id = doc_a
             JOIN sz sb ON sb.doc_id = doc_b
             WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.05""",
+        "bpe_token_count": _bpe_count_oracle(),
+        "embedding_near_dup": """
+            WITH eb AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 1000000 AS vec_id, embedding
+                FROM embeddings WHERE vec_id < 20
+            )
+            SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 6) AS cosine
+            FROM eb a JOIN eb b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[]), 6) >= 0.99""",
         "ann_cosine_topk": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
             s AS (

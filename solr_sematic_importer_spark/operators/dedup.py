@@ -177,6 +177,97 @@ def ngram_jaccard_pairs(
     return out
 
 
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    bits: int = 16,
+    band_bits: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicates: (doc_a, doc_b, cosine >= threshold).
+
+    Scale path (default): random-hyperplane sign sketches
+    (``similarity_search.rp_lsh_buckets``), banded like SimHash — pairs
+    sharing ANY ``band_bits``-bit band of the sketch become candidates
+    (pigeonhole: Hamming distance < bits/band_bits guarantees a shared
+    band), then exact cosine re-ranks ONLY the candidates. No all-pairs
+    join; bucket skew is degenerate content, exactly what dedup hunts.
+
+    ``exact=True`` degenerates the blocking to all-pairs (doc_a < doc_b)
+    for verification/oracle use at small n — same output columns, exact
+    recall.
+    """
+    from .similarity_search import rp_lsh_buckets
+
+    e = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    if exact:
+        a, b = e.alias("a"), e.alias("b")
+        cand = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+            F.col("a.vec_id").alias("doc_a"),
+            F.col("b.vec_id").alias("doc_b"),
+            F.col("a.embedding").alias("va"),
+            F.col("b.embedding").alias("vb"),
+        )
+    else:
+        sk = rp_lsh_buckets(e, dim, bits=bits, seed=seed)
+        nbands = bits // band_bits
+        mask = (1 << band_bits) - 1
+        banded = sk.select(
+            "vec_id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftrightunsigned(F.col("sketch"), i * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        for i in range(nbands)
+                    ]
+                )
+            ).alias("band", "bucket"),
+        )
+        a, b = banded.alias("a"), banded.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(
+                F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b")
+            )
+            .distinct()
+        )
+        cand = (
+            pairs.join(e.withColumnRenamed("vec_id", "doc_a"), "doc_a")
+            .withColumnRenamed("embedding", "va")
+            .join(e.withColumnRenamed("vec_id", "doc_b"), "doc_b")
+            .withColumnRenamed("embedding", "vb")
+        )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        cand.withColumn(
+            "cosine", F.round(dot / (norm(F.col("va")) * norm(F.col("vb"))), 6)
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("doc_a", "doc_b", "cosine")
+    )
+
+
 def simhash(tf_df: DataFrame, bits: int = 64) -> DataFrame:
     """64-bit SimHash per doc from the (doc_id, term, tf) table.
 

@@ -84,6 +84,32 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+# GPT-2-style pre-tokenizer pattern (published), simplified to the
+# lookahead-free subset both Java regex (Spark) and RE2 (DuckDB) accept:
+# contraction suffixes | space?letters | space?digits | space?punct-run
+# (whitespace-only pieces dropped from the count). Approximates BPE token
+# usage well enough for budget/quality gating without a tokenizer model.
+BPE_ISH_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_ish_token_count(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_ws_tokens, n_bpe_ish): whitespace token count plus the
+    GPT-2-regex-style piece count — the standard cheap proxy for LLM
+    token budgets over a 100 TB corpus (pure regexp_extract_all, no
+    Python, no tokenizer download)."""
+    ws = F.size(
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda t: F.length(t) > 0)
+    )
+    bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0))
+    return df.select(
+        F.col(id_col),
+        ws.alias("n_ws_tokens"),
+        bpe.alias("n_bpe_ish"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Canonical content fingerprint: md5 over the sorted distinct token
     set — invariant to token order/duplication (near-dup blocking key)."""

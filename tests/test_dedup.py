@@ -123,6 +123,44 @@ def test_minhash_lsh_finds_near_dups_and_jaccard_confirms(docs):
     assert jac[(0, 200)] == 1.0
 
 
+def test_embedding_near_dup_bucketed_vs_exact(spark):
+    """The RP-LSH-bucketed near-dup path finds the seeded near-identical
+    vectors without an all-pairs join, and its output is a subset of the
+    exact variant (blocking only ever loses pairs, never invents them)."""
+    import numpy as np
+
+    from solr_sematic_importer_spark.operators.dedup import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(7)
+    dim = 32
+    base = rng.standard_normal((40, dim))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    # seeded near-dups: tiny perturbations of vectors 0..4 under ids 100+
+    for i in range(5):
+        pert = base[i] + rng.standard_normal(dim) * 0.01
+        rows.append((100 + i, [float(x) for x in pert]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs(emb, dim, threshold=0.98, exact=True).collect()
+    }
+    assert set(exact) >= {(i, 100 + i) for i in range(5)}
+
+    bucketed = {
+        (r["doc_a"], r["doc_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs(
+            emb, dim, threshold=0.98, bits=16, band_bits=4
+        ).collect()
+    }
+    assert set(bucketed) <= set(exact)
+    # near-identical vectors share sketch bands with overwhelming
+    # probability; all seeded pairs must be recalled
+    assert set(bucketed) >= {(i, 100 + i) for i in range(5)}
+    for k, v in bucketed.items():
+        assert v == exact[k]
+
+
 def test_lsh_dropped_buckets_are_surfaced(spark):
     """A degenerate mega-bucket (many identical signatures) above
     max_bucket is dropped from the join AND reported — silent truncation
