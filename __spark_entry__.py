@@ -368,6 +368,28 @@ def q_chunk_stats(spark, sf_dir):
     )
 
 
+def q_block_join_parent(spark, sf_dir):
+    """Solr block join ({!parent} / ToParentBlockJoinQuery, score mode
+    max): BM25 over CHILD chunk docs, parents ranked by best child —
+    the retrieval pattern over the reference's chunk collections
+    (child ids parent#%07d, ChunkDocumentListener.java:141-156)."""
+    from solr_sematic_importer_spark.operators.build import build_index
+    from solr_sematic_importer_spark.operators.chunking import (
+        block_join_parent_topk,
+        char_chunks,
+    )
+
+    _prepare(spark)
+    chunks = char_chunks(_docs(spark, sf_dir), size=120, overlap=20)
+    cidx = build_index(
+        chunks, text_col="chunk", key_cols=("id",), profile="simple"
+    )
+    top = block_join_parent_topk(cidx, Q_OR, k=10, score_mode="max", quantize=False)
+    return top.select(
+        "parent_id", F.round("score", 4).alias("score"), "best_chunk"
+    )
+
+
 def q_orphan_anti_join(spark, sf_dir):
     # J3 orphan-delete anti-join shape (SolrAdminActions.java:268)
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -882,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_on_query": q_facet_on_query,
         "chunks_char": q_chunks,
         "chunk_parent_join": q_chunk_parent_join,
+        "block_join_parent": q_block_join_parent,
         "chunk_stats": q_chunk_stats,
         "orphan_anti_join": q_orphan_anti_join,
         "window_first_event": q_window_first_event,
@@ -1250,6 +1273,56 @@ ORDER BY raw_score DESC, doc_id ASC LIMIT 10""",
             SELECT c.doc_id::VARCHAR || '#' || lpad(c.chunk_number::VARCHAR, 7, '0') AS id,
                    c.doc_id AS parent_id, c.chunk_number::INT AS chunk_number, d.lang
             FROM c JOIN documents d ON c.doc_id = d.doc_id""",
+        "block_join_parent": f"""
+WITH n AS (
+    SELECT doc_id, text,
+           greatest(1, ceil((length(text) - 20) / 100.0))::INT AS n_chunks
+    FROM documents
+), c AS (
+    SELECT doc_id::VARCHAR || '#' || lpad(chunk_number::VARCHAR, 7, '0') AS id,
+           doc_id AS parent_id,
+           substr(text, chunk_number * 100 + 1, 120) AS chunk
+    FROM (
+        SELECT doc_id, text, unnest(generate_series(0, n_chunks - 1)) AS chunk_number
+        FROM n
+    )
+),
+toksc AS (
+    SELECT id, parent_id, term FROM (
+        SELECT id, parent_id,
+               unnest(string_split_regex(lower(chunk), '[^a-z0-9]+')) AS term
+        FROM c
+    ) WHERE term <> ''
+),
+ctf AS (
+    SELECT id, parent_id, term, count(*)::BIGINT AS tf
+    FROM toksc GROUP BY id, parent_id, term
+),
+cdl AS (
+    SELECT c.id, count(t.term)::BIGINT AS dl
+    FROM c LEFT JOIN toksc t USING (id) GROUP BY c.id
+),
+cstats AS (SELECT count(*)::BIGINT AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM cdl),
+cdft AS (
+    SELECT term, count(*)::BIGINT AS df FROM ctf
+    WHERE term IN ('merge', 'sort', 'window') GROUP BY term
+),
+cscores AS (
+    SELECT ctf.id, ctf.parent_id,
+           sum(ln(1 + (s.n - cdft.df + 0.5) / (cdft.df + 0.5))
+               * ctf.tf / (ctf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * cdl.dl / s.avgdl))
+              ) AS raw
+    FROM ctf JOIN cdft USING (term) JOIN cdl USING (id) CROSS JOIN cstats s
+    GROUP BY ctf.id, ctf.parent_id
+),
+ranked AS (
+    SELECT parent_id, id, raw,
+           row_number() OVER (PARTITION BY parent_id ORDER BY raw DESC, id ASC) AS rn,
+           max(raw) OVER (PARTITION BY parent_id) AS m
+    FROM cscores
+)
+SELECT parent_id, round(m, 4) AS score, id AS best_chunk
+FROM ranked WHERE rn = 1 ORDER BY m DESC, parent_id ASC LIMIT 10""",
         "orphan_anti_join": """
             SELECT c_custkey, c_name FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",

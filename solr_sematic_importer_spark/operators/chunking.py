@@ -71,6 +71,62 @@ def token_window_chunks(
     )
 
 
+def block_join_parent_topk(
+    chunk_index,
+    query: str,
+    k: int = 10,
+    score_mode: str = "max",
+    k1: float = 1.2,
+    b: float = 0.75,
+    quantize: bool = True,
+):
+    """Solr block join ({!parent which=...} / ToParentBlockJoinQuery):
+    score CHILD chunk docs with BM25, return PARENTS ranked by their best
+    (score_mode='max') or summed ('total') child score — the canonical
+    retrieval over the reference's chunk collections, whose child ids are
+    ``parent#%07d`` (``ChunkDocumentListener.java:141-156``).
+
+    ``chunk_index`` is an InvertedIndex built over the chunk table with
+    ``doc_id_col`` absent and key ``id`` carrying the parent#n string
+    (use ``build_index(chunks, text_col='chunk', key_cols=('id',))``).
+    Returns (parent_id, score, best_chunk) with doc-id tie-breaks.
+    """
+    from pyspark.sql.window import Window
+
+    from .score import score_or_docs
+
+    spark = chunk_index.postings_flat.sparkSession
+    agg_fn = {"max": F.max, "total": F.sum}[score_mode]
+    scored = score_or_docs(chunk_index, query, k1=k1, b=b, quantize=quantize)
+    if scored is None:
+        return spark.createDataFrame(
+            [], "parent_id long, score double, best_chunk string"
+        )
+    # child doc_id -> its chunk id string -> parent id
+    ids = chunk_index.doc_stats.select("doc_id", "id")
+    with_parent = scored.join(ids, "doc_id").select(
+        F.split(F.col("id"), "#").getItem(0).cast("long").alias("parent_id"),
+        F.col("score").alias("cscore"),
+        F.col("id").alias("chunk_id"),
+    )
+    # one window pass: rank chunks within each parent (best chunk = rn 1)
+    # and aggregate the parent score per score_mode over the same partition
+    w = Window.partitionBy("parent_id").orderBy(
+        F.col("cscore").desc(), F.col("chunk_id").asc()
+    )
+    wall = Window.partitionBy("parent_id")
+    heads = (
+        with_parent.withColumn("rn", F.row_number().over(w))
+        .withColumn("score", agg_fn("cscore").over(wall))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        heads.select("parent_id", "score", F.col("chunk_id").alias("best_chunk"))
+        .orderBy(F.col("score").desc(), F.col("parent_id").asc())
+        .limit(k)
+    )
+
+
 def join_chunks_to_parents(
     chunks: DataFrame, parents: DataFrame, parent_id_col: str = "doc_id", broadcast_parents: bool = False
 ) -> DataFrame:

@@ -117,3 +117,35 @@ def test_fq_filter(built):
     for r in got.collect():
         assert r["conv_id"] == "conv_00000000"
     assert got.count() > 0
+
+
+def test_block_join_parent_modes(spark):
+    """{!parent} block join: parents ranked by max vs total child score;
+    the best chunk is the top-scoring child with id-asc ties."""
+    from pyspark.sql import functions as F
+
+    from solr_sematic_importer_spark.operators.build import build_index
+    from solr_sematic_importer_spark.operators.chunking import (
+        block_join_parent_topk,
+        char_chunks,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "zebra stripes " * 12),          # many chunks each with 'zebra'
+            (2, "one zebra here " + "filler words " * 20),  # one matching chunk
+            (3, "no animals at all " * 10),
+        ],
+        "doc_id long, text string",
+    )
+    chunks = char_chunks(docs, size=60, overlap=10)
+    cidx = build_index(chunks, text_col="chunk", key_cols=("id",), profile="simple")
+    mx = block_join_parent_topk(cidx, "zebra", k=10, score_mode="max", quantize=False).collect()
+    assert {r["parent_id"] for r in mx} == {1, 2}
+    assert all(r["best_chunk"].split("#")[0] == str(r["parent_id"]) for r in mx)
+    tot = block_join_parent_topk(cidx, "zebra", k=10, score_mode="total", quantize=False).collect()
+    t = {r["parent_id"]: r["score"] for r in tot}
+    m = {r["parent_id"]: r["score"] for r in mx}
+    assert t[1] > m[1]          # many matching chunks accumulate
+    assert t[2] == m[2]         # single matching chunk: total == max
+    assert block_join_parent_topk(cidx, "", k=5).count() == 0
