@@ -323,6 +323,16 @@ def q_facet_on_query(spark, sf_dir):
     )
 
 
+def q_facet_pivot(spark, sf_dir):
+    """Solr pivot facets (facet.pivot=lang,source): nested two-level
+    counts — one hash agg on the composite key."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
 def q_facet_range_day(spark, sf_dir):
     """Solr facet.range over a date field: day-bucketed counts (the range
     variant of A2/Q5; same partial+final hash agg, bucketing is a pure
@@ -902,6 +912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_source": q_facet_source,
         "facet_range_day": q_facet_range_day,
         "facet_on_query": q_facet_on_query,
+        "facet_pivot": q_facet_pivot,
         "chunks_char": q_chunks,
         "chunk_parent_join": q_chunk_parent_join,
         "block_join_parent": q_block_join_parent,
@@ -1235,6 +1246,9 @@ ORDER BY raw_score DESC, doc_id ASC LIMIT 10""",
                 SELECT DISTINCT doc_id FROM tf
                 WHERE term IN ('merge', 'sort', 'window'))
             GROUP BY d.lang""",
+        "facet_pivot": """
+            SELECT lang, source, count(*)::BIGINT AS cnt
+            FROM documents GROUP BY lang, source""",
         "facet_source": "SELECT source, count(*)::BIGINT AS cnt FROM documents GROUP BY source",
         "chunks_char": """
             WITH n AS (
