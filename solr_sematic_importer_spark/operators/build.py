@@ -407,8 +407,15 @@ def read_index(spark: SparkSession, path: str) -> InvertedIndex:
         blocks = None
     try:
         deletes = spark.read.parquet(f"{path}/deletes").select("doc_id").distinct()
-    except Exception:
-        deletes = None
+    except Exception as e:
+        # ONLY path-missing means "no deletes". A transient/corrupt read
+        # must propagate — treating it as empty would silently resurrect
+        # deleted docs (the same trap as a swallowed manifest error).
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            deletes = None
+        else:
+            raise
     doc_stats = spark.read.parquet(f"{path}/doc_stats")
     try:
         postings_flat = spark.read.parquet(f"{path}/postings_flat")
