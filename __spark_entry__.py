@@ -260,6 +260,49 @@ def q_lucene_syntax_query(spark, sf_dir):
     return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_fuzzy_query(spark, sf_dir):
+    """Lucene FuzzyQuery through the classic parser ('mergr~2'): vocab
+    terms within 2 Levenshtein edits, scored as one SynonymQuery-style
+    blended pseudo-term (df = max member df, per-doc tf summed)."""
+    from solr_sematic_importer_spark.operators.boolean_query import (
+        boolean_query_topk,
+    )
+
+    idx = _doc_index(spark, sf_dir)
+    top = boolean_query_topk(idx, "mergr~2", k=10, quantize=False)
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_wildcard_query(spark, sf_dir):
+    """Lucene WildcardQuery through the classic parser ('s?r*'): regex-
+    on-vocab expansion under the constant-score rewrite."""
+    from solr_sematic_importer_spark.operators.boolean_query import (
+        boolean_query_topk,
+    )
+
+    idx = _doc_index(spark, sf_dir)
+    top = boolean_query_topk(idx, "s?r*", k=10, quantize=False)
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_bm25_phrase_slop(spark, sf_dir):
+    """Sloppy phrase ('"merge window"~2') through the classic parser:
+    in-order window match over positional postings (documented divergence
+    from Lucene's reorder + 1/(1+slop) weighting, operators/phrase.py),
+    scored as one pseudo-term like the exact phrase."""
+    from solr_sematic_importer_spark.operators.boolean_query import (
+        boolean_query_topk,
+    )
+    from solr_sematic_importer_spark.operators.phrase import build_positions
+
+    idx = _doc_index(spark, sf_dir)
+    pos = build_positions(_docs(spark, sf_dir), profile="simple")
+    top = boolean_query_topk(
+        idx, '"merge window"~2', k=10, positions=pos, quantize=False
+    )
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def q_terms_component(spark, sf_dir):
     """Solr /terms: prefix-matched vocabulary by descending df (the
     autocomplete primitive)."""
@@ -904,6 +947,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spellcheck": q_spellcheck,
         "sort_by_field": q_sort_by_field,
         "lucene_syntax_query": q_lucene_syntax_query,
+        "fuzzy_query": q_fuzzy_query,
+        "wildcard_query": q_wildcard_query,
+        "bm25_phrase_slop": q_bm25_phrase_slop,
         "terms_component": q_terms_component,
         "prefix_query": q_prefix_query,
         "more_like_this": q_more_like_this,
@@ -1195,6 +1241,67 @@ FROM scores
 WHERE doc_id IN (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge')
   AND doc_id NOT IN (SELECT DISTINCT doc_id FROM tf WHERE term = 'window')
 ORDER BY raw_score DESC, doc_id ASC LIMIT 10""",
+        "fuzzy_query": f"""
+WITH {_TF}{_DL},
+mem AS (
+    SELECT DISTINCT term FROM tf WHERE levenshtein(term, 'mergr') <= 2
+),
+grp AS (
+    SELECT doc_id, sum(tf)::BIGINT AS tfs FROM tf
+    WHERE term IN (SELECT term FROM mem) GROUP BY doc_id
+),
+dfmax AS (
+    SELECT max(c) AS m FROM (
+        SELECT count(*)::BIGINT AS c FROM tf
+        WHERE term IN (SELECT term FROM mem) GROUP BY term
+    )
+),
+scores AS (
+    SELECT grp.doc_id,
+           ln(1 + (s.n - dfmax.m + 0.5) / (dfmax.m + 0.5))
+             * grp.tfs / (grp.tfs + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl))
+             AS raw_score
+    FROM grp JOIN dl USING (doc_id)
+    CROSS JOIN stats s CROSS JOIN dfmax
+)
+SELECT doc_id, round(raw_score, 4) AS score
+FROM scores ORDER BY raw_score DESC, doc_id ASC LIMIT 10""",
+        "wildcard_query": f"""
+            WITH {_TOKS}
+            SELECT DISTINCT doc_id, 1.0 AS score FROM toks
+            WHERE term LIKE 's_r%' ORDER BY doc_id ASC LIMIT 10""",
+        "bm25_phrase_slop": f"""
+WITH {_TF}{_DL},
+toksa AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS ts
+    FROM documents
+),
+dfa AS (SELECT count(*)::BIGINT AS df FROM (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge')),
+dfb AS (SELECT count(*)::BIGINT AS df FROM (SELECT DISTINCT doc_id FROM tf WHERE term = 'window')),
+ph AS (
+    SELECT doc_id,
+           len(list_filter(generate_series(1, len(ts)),
+                           i -> ts[i] = 'merge'
+                                AND len(list_filter(
+                                        generate_series(i + 1, least(i + 3, len(ts))),
+                                        j -> ts[j] = 'window')) > 0))::BIGINT AS tfp
+    FROM toksa
+),
+scores AS (
+    SELECT ph.doc_id,
+           (ln(1 + (s.n - dfa.df + 0.5) / (dfa.df + 0.5))
+            + ln(1 + (s.n - dfb.df + 0.5) / (dfb.df + 0.5)))
+           * ph.tfp / (ph.tfp + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl))
+             AS raw_score
+    FROM ph
+    JOIN dl USING (doc_id)
+    CROSS JOIN stats s CROSS JOIN dfa CROSS JOIN dfb
+    WHERE ph.tfp > 0
+)
+SELECT doc_id, round(raw_score, 4) AS score
+FROM scores ORDER BY raw_score DESC, doc_id ASC LIMIT 10""",
         "terms_component": f"""
             WITH {_TF}
             SELECT term, count(*)::BIGINT AS df FROM tf

@@ -9,6 +9,12 @@ collection user types daily:
 * ``"quoted phrase"`` phrase clause (positions required to execute)
 * ``(grouped clauses)`` nested boolean query
 * ``prefix*`` PrefixQuery (constant-score rewrite inside the boolean)
+* ``te?t`` / ``t*st`` WildcardQuery (constant-score rewrite; leading
+  wildcards rejected, like Lucene's default allowLeadingWildcard=false)
+* ``term~`` / ``term~1`` / ``term~2`` FuzzyQuery (max edit distance 2,
+  Lucene's hard cap; executed as a SynonymQuery-style blend over the
+  Levenshtein-expanded vocab slice)
+* ``"a phrase"~N`` sloppy phrase (slop carried on the clause)
 * ``[alpha TO beta]`` / ``{alpha TO beta}`` TermRangeQuery over the term
   dictionary (inclusive / exclusive bounds, ``*`` = open end;
   constant-score rewrite)
@@ -17,10 +23,16 @@ collection user types daily:
   engine indexes one analyzed field, like the reference's ``_text_``
   catch-all); any other field name raises.
 
-Out of scope (documented): fuzzy ``~``, leading wildcards. Numeric/date
-ranges belong on fq metadata filters (``bm25_topk(extra_filter=...)``).
-The parser produces a plain AST; execution lives in
-``operators/boolean_query.py``.
+``+``/``-`` are operators only at clause start (string start, after
+whitespace, or after ``(``) — inside a word they are term characters, so
+``wi-fi`` / ``covid-19`` / ``c++`` lex as ONE word and the analyzer
+splits them into sub-terms, matching Lucene's classic parser. Wildcard /
+fuzzy / prefix terms are lowercased (Solr multiterm analysis) since the
+term dictionary is lowercase; plain terms go through the full analyzer.
+
+Numeric/date ranges belong on fq metadata filters
+(``bm25_topk(extra_filter=...)``). The parser produces a plain AST;
+execution lives in ``operators/boolean_query.py``.
 
 Occur resolution follows the classic parser's practical behavior: an
 explicit +/- wins; otherwise ``AND`` promotes BOTH neighbors to MUST,
@@ -36,14 +48,17 @@ SHOULD, MUST, MUST_NOT = "SHOULD", "MUST", "MUST_NOT"
 
 DEFAULT_FIELDS = {"_text_", "text"}
 
+# +/- are operators ONLY at clause start: preceded by nothing/whitespace/'('
+# (the (?<![^\s(]) lookbehind) and attached to the clause ((?=\S)). Anywhere
+# else they are word characters ('wi-fi', 'c++').
 _TOKEN = re.compile(
     r"""
     (?P<lpar>\() | (?P<rpar>\)) |
     (?P<and>AND\b) | (?P<or>OR\b) | (?P<not>NOT\b) |
-    (?P<plus>\+) | (?P<minus>-) |
-    (?P<phrase>"(?P<phrase_body>[^"]*)") |
+    (?P<plus>(?<![^\s(])\+(?=\S)) | (?P<minus>(?<![^\s(])-(?=\S)) |
+    (?P<phrase>"(?P<phrase_body>[^"]*)"(?:~(?P<pslop>\d+))?) |
     (?P<range>(?P<lb>[\[{])\s*(?P<lo>[^\s\]}]+)\s+TO\s+(?P<hi>[^\s\]}]+)\s*(?P<rb>[\]}])) |
-    (?P<word>[^\s()+\-"^\[\]{}]+) |
+    (?P<word>[^\s()"^\[\]{}]+) |
     (?P<boost>\^(?P<boost_val>\d+(?:\.\d+)?)) |
     (?P<ws>\s+)
     """,
@@ -54,14 +69,16 @@ _TOKEN = re.compile(
 @dataclass
 class Clause:
     occur: str            # SHOULD / MUST / MUST_NOT
-    kind: str             # term / phrase / prefix / range / group
-    text: str = ""        # raw term / phrase body / prefix (no '*')
+    kind: str             # term / phrase / prefix / wildcard / fuzzy / range / group
+    text: str = ""        # raw term / phrase body / prefix (no '*') / pattern
     boost: float = 1.0
     children: list = field(default_factory=list)  # for kind == "group"
     lo: str | None = None          # range bounds; None = open end
     hi: str | None = None
     lo_inc: bool = True
     hi_inc: bool = True
+    distance: int = 2              # fuzzy max edit distance (Lucene cap: 2)
+    slop: int = 0                  # phrase slop ("a b"~N)
 
 
 class QueryParseError(ValueError):
@@ -140,7 +157,11 @@ def _parse_clauses(tokens, i, q) -> tuple[list[Clause], int]:
         elif g == "minus":
             pending = MUST_NOT
         elif g == "phrase":
-            node = Clause(SHOULD, "phrase", text=m.group("phrase_body"))
+            node = Clause(
+                SHOULD, "phrase",
+                text=m.group("phrase_body"),
+                slop=int(m.group("pslop") or 0),
+            )
             node.boost, i = _maybe_boost(tokens, i)
             attach(node)
         elif g == "range":
@@ -156,17 +177,45 @@ def _parse_clauses(tokens, i, q) -> tuple[list[Clause], int]:
             attach(node)
         elif g == "word":
             word = _strip_field(m.group("word"))
-            if word.endswith("*") and len(word) > 1:
-                node = Clause(SHOULD, "prefix", text=word[:-1])
-            elif "*" in word or word.startswith("~") or word.endswith("~"):
-                raise QueryParseError(f"unsupported wildcard/fuzzy: {word!r}")
-            else:
-                node = Clause(SHOULD, "term", text=word)
+            node = _word_clause(word)
             node.boost, i = _maybe_boost(tokens, i)
             attach(node)
         elif g == "boost":
             raise QueryParseError("dangling boost '^'")
     return out, i
+
+
+_FUZZY_SUFFIX = re.compile(r"^(?P<base>.+)~(?P<dist>\d*)$")
+
+
+def _word_clause(word: str) -> Clause:
+    """Classify a bare word: fuzzy / prefix / wildcard / term. Multiterm
+    variants (fuzzy/prefix/wildcard) are LOWERCASED like Solr's multiterm
+    analysis — the term dictionary is lowercase, so a capitalized 'Tele*'
+    must still match."""
+    fz = _FUZZY_SUFFIX.match(word)
+    if fz:
+        dist = int(fz.group("dist")) if fz.group("dist") else 2
+        if dist > 2:
+            raise QueryParseError(
+                f"fuzzy edit distance {dist} > 2 (Lucene's maximum): {word!r}"
+            )
+        return Clause(SHOULD, "fuzzy", text=fz.group("base").lower(), distance=dist)
+    if word.endswith("*") and len(word) > 1 and not _has_wildcard(word[:-1]):
+        return Clause(SHOULD, "prefix", text=word[:-1].lower())
+    if _has_wildcard(word):
+        if word[0] in "*?":
+            raise QueryParseError(
+                f"leading wildcard not supported (Lucene default): {word!r}"
+            )
+        return Clause(SHOULD, "wildcard", text=word.lower())
+    if "~" in word:
+        raise QueryParseError(f"malformed fuzzy suffix: {word!r}")
+    return Clause(SHOULD, "term", text=word)
+
+
+def _has_wildcard(s: str) -> bool:
+    return "*" in s or "?" in s
 
 
 def _maybe_boost(tokens, i) -> tuple[float, int]:

@@ -127,7 +127,7 @@ class _Evaluator:
             ).alias("s")
         )
 
-    def phrase_scores(self, text: str, boost: float) -> DataFrame | None:
+    def phrase_scores(self, text: str, boost: float, slop: int = 0) -> DataFrame | None:
         if self.positions is None:
             raise ValueError(
                 "phrase clause requires a positions table "
@@ -143,10 +143,37 @@ class _Evaluator:
             return None
         gaps = [p - poss[0] for p in poss]
         w = boost * sum(idf(dfs[t], self.index.n_docs) for t in terms)
-        hits = phrase_match_counts(self.positions, terms, gaps)
+        hits = phrase_match_counts(self.positions, terms, gaps, slop=slop)
         return hits.join(
             self.index.doc_stats.select("doc_id", self.dl_col), "doc_id"
         ).select("doc_id", self._sat(F.col("tfp"), w).alias("s"))
+
+    def fuzzy_scores(self, word: str, distance: int, boost: float) -> DataFrame | None:
+        """FuzzyQuery as a SynonymQuery-style blend (see
+        ``score.bm25_fuzzy_topk``): df = max member df, per-doc tf summed
+        across members THEN saturated once."""
+        from .score import fuzzy_expand_terms
+
+        members = fuzzy_expand_terms(self.index, word, distance)
+        if not members:
+            return None
+        w = boost * idf(max(df for _, df in members), self.index.n_docs)
+        per_doc = (
+            self.index.postings_flat.filter(
+                F.col("term").isin(sorted(t for t, _ in members))
+            )
+            .groupBy("doc_id", self.dl_col)
+            .agg(F.sum("tf").alias("tf_sum"))
+        )
+        return per_doc.select("doc_id", self._sat(F.col("tf_sum"), w).alias("s"))
+
+    def wildcard_scores(self, pattern: str, boost: float) -> DataFrame | None:
+        from .score import wildcard_to_regex
+
+        matching = self.index.term_stats.filter(
+            F.col("term").rlike(wildcard_to_regex(pattern))
+        ).select("term")
+        return self._constant_docs(matching, boost)
 
     def prefix_scores(self, prefix: str, boost: float) -> DataFrame | None:
         matching = self.index.term_stats.filter(
@@ -183,9 +210,13 @@ class _Evaluator:
         if c.kind == "term":
             return self.term_scores(c.text, c.boost)
         if c.kind == "phrase":
-            return self.phrase_scores(c.text, c.boost)
+            return self.phrase_scores(c.text, c.boost, slop=c.slop)
         if c.kind == "prefix":
             return self.prefix_scores(c.text, c.boost)
+        if c.kind == "fuzzy":
+            return self.fuzzy_scores(c.text, c.distance, c.boost)
+        if c.kind == "wildcard":
+            return self.wildcard_scores(c.text, c.boost)
         if c.kind == "range":
             return self.range_scores(c)
         if c.kind == "group":

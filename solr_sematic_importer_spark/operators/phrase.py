@@ -69,11 +69,20 @@ def build_positions(
 
 
 def phrase_match_counts(
-    positions: DataFrame, terms: list[str], gaps: list[int]
+    positions: DataFrame, terms: list[str], gaps: list[int], slop: int = 0
 ) -> DataFrame:
     """(doc_id, tfp): per doc, the number of phrase occurrences — starts x
     in the first term's positions such that every later term has a
-    position at x + gap_i. All JVM array ops, whole-stage codegen."""
+    position at x + gap_i. All JVM array ops, whole-stage codegen.
+
+    ``slop > 0`` is the sloppy-phrase variant (``"a b"~N``): a start x
+    matches when an IN-ORDER chain of positions exists with each term i at
+    ``prev < y_i <= x + gap_i + slop``. This is a documented divergence
+    from Lucene's SloppyPhraseScorer, which (a) also admits reordered
+    terms once slop >= their transposition cost and (b) weights each match
+    1/(1 + slop_used) in the phrase freq; we count in-order windows with
+    weight 1 — the match SET for in-order text is the same, the freq
+    weighting is not."""
     uniq = sorted(set(terms))
     cand = positions.filter(F.col("term").isin(uniq))  # pushed to the scan
     joined = None
@@ -84,16 +93,35 @@ def phrase_match_counts(
         )
         joined = side if joined is None else joined.join(side, "doc_id")
 
-    def exists_at(col_name: str, x, gap: int):
-        # factory, not loop-variable closure: Spark HOFs introspect the
-        # lambda's arity, so the inner lambda must take exactly one arg
-        return F.exists(F.col(col_name), lambda y: y == x + F.lit(gap))
+    if slop == 0:
+        def exists_at(col_name: str, x, gap: int):
+            # factory, not loop-variable closure: Spark HOFs introspect the
+            # lambda's arity, so the inner lambda must take exactly one arg
+            return F.exists(F.col(col_name), lambda y: y == x + F.lit(gap))
 
-    def start_ok(x):
-        cond = F.lit(True)
-        for i in range(1, len(terms)):
-            cond = cond & exists_at(f"p{i}", x, gaps[i])
-        return cond
+        def start_ok(x):
+            cond = F.lit(True)
+            for i in range(1, len(terms)):
+                cond = cond & exists_at(f"p{i}", x, gaps[i])
+            return cond
+    else:
+        def chain_from(i: int, x, prev):
+            # nested HOF exists: y_i must follow the previous match and
+            # stay within the slop-widened expected position
+            upper = x + F.lit(gaps[i] + slop)
+            if i == len(terms) - 1:
+                return F.exists(
+                    F.col(f"p{i}"), lambda y: (y > prev) & (y <= upper)
+                )
+            return F.exists(
+                F.col(f"p{i}"),
+                lambda y: (y > prev) & (y <= upper) & chain_from(i + 1, x, y),
+            )
+
+        def start_ok(x):
+            if len(terms) == 1:
+                return F.lit(True)
+            return chain_from(1, x, x)
 
     tfp = F.size(F.filter(F.col("p0"), start_ok))
     return joined.select("doc_id", tfp.alias("tfp")).filter(F.col("tfp") > 0)
@@ -107,9 +135,11 @@ def bm25_phrase_topk(
     k1: float = K1_DEFAULT,
     b: float = B_DEFAULT,
     quantize: bool = True,
+    slop: int = 0,
 ) -> DataFrame:
-    """Exact phrase top-k (slop=0), Lucene PhraseQuery scoring: the phrase
-    is one pseudo-term with idf = sum of constituent idfs and tf = phrase
+    """Phrase top-k (exact when ``slop=0``, sloppy otherwise — see
+    ``phrase_match_counts``), Lucene PhraseQuery scoring: the phrase is
+    one pseudo-term with idf = sum of constituent idfs and tf = phrase
     frequency. Returns (doc_id, score), (score desc, doc_id asc)."""
     spark = index.postings_flat.sparkSession
     out_schema = "doc_id long, score double"
@@ -130,7 +160,7 @@ def bm25_phrase_topk(
     avgdl = index.avgdl
     dl_col = "dl_quant" if quantize else "dl"
 
-    hits = phrase_match_counts(positions, terms, gaps)
+    hits = phrase_match_counts(positions, terms, gaps, slop=slop)
     with_dl = hits.join(
         index.doc_stats.select("doc_id", dl_col), "doc_id"
     ).select(

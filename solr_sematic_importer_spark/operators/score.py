@@ -333,6 +333,124 @@ def spellcheck_terms(
     )
 
 
+def fuzzy_expand_terms(
+    index: InvertedIndex, word: str, distance: int = 2
+) -> list[tuple[str, int]]:
+    """Lucene FuzzyQuery term expansion: vocabulary terms within
+    ``distance`` Levenshtein edits of the (lowercased) input — the same
+    length-window pre-filter as ``spellcheck_terms`` so the JVM
+    ``levenshtein`` runs on a sliver of the dictionary. Returns
+    [(term, df)]. No maxExpansions cap (documented divergence: Lucene
+    keeps the 50 highest-df expansions; our expansion sets at sane
+    distances are far below that)."""
+    target = word.lower()
+    n = len(target)
+    cand = index.term_stats.filter(
+        (F.length("term") >= n - distance) & (F.length("term") <= n + distance)
+    )
+    rows = (
+        cand.filter(F.levenshtein(F.col("term"), F.lit(target)) <= distance)
+        .select("term", "df")
+        .collect()
+    )
+    return [(r["term"], int(r["df"])) for r in rows]
+
+
+def bm25_fuzzy_topk(
+    index: InvertedIndex,
+    word: str,
+    distance: int = 2,
+    k: int = 10,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    quantize: bool = True,
+) -> DataFrame:
+    """FuzzyQuery (``term~N``) scored as a SynonymQuery-style blend over
+    the expanded vocab slice: one pseudo-term with df = max member df and
+    per-doc tf = sum of member tfs (Lucene's blended-freq rewrite in
+    spirit; Lucene additionally boosts members by edit-distance
+    similarity — documented divergence). Returns (doc_id, score)."""
+    spark = index.postings_flat.sparkSession
+    out_schema = "doc_id long, score double"
+    members = fuzzy_expand_terms(index, word, distance)
+    if not members or index.n_docs == 0:
+        return spark.createDataFrame([], out_schema)
+    w = idf(max(df for _, df in members), index.n_docs)
+    dl_col = "dl_quant" if quantize else "dl"
+    avgdl = index.avgdl
+    per_doc = (
+        index.postings_flat.filter(
+            F.col("term").isin(sorted(t for t, _ in members))
+        )
+        .groupBy("doc_id", dl_col)
+        .agg(F.sum("tf").alias("tf_sum"))
+        .select(
+            "doc_id",
+            (
+                F.lit(w)
+                * F.col("tf_sum")
+                / (
+                    F.col("tf_sum")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col(dl_col) / F.lit(avgdl))
+                )
+            ).alias("score"),
+        )
+    )
+    if index.deletes is not None:
+        per_doc = per_doc.join(index.deletes.select("doc_id"), "doc_id", "left_anti")
+    return (
+        per_doc.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", "score")
+    )
+
+
+def wildcard_to_regex(pattern: str) -> str:
+    """Lucene wildcard syntax -> anchored Java/RE2-safe regex:
+    ``*`` = any run, ``?`` = one char, everything else literal."""
+    import re as _re
+
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(_re.escape(ch))
+    return "^" + "".join(out) + "$"
+
+
+def wildcard_query_topk(
+    index: InvertedIndex,
+    pattern: str,
+    k: int = 10,
+) -> DataFrame:
+    """Lucene WildcardQuery (``te?t``, ``t*st``) under Solr's default
+    MultiTermQuery CONSTANT_SCORE rewrite: regex-on-vocab expansion
+    (``rlike`` over the vocab-sized term_stats table), then the same
+    semi-join/dedup shape as ``prefix_query_topk``. Every matching doc
+    scores 1.0; docID-asc tie-break. Returns (doc_id, score)."""
+    spark = index.postings_flat.sparkSession
+    if not pattern:
+        return spark.createDataFrame([], "doc_id long, score double")
+    rx = wildcard_to_regex(pattern.lower())
+    matching = index.term_stats.filter(F.col("term").rlike(rx)).select("term")
+    docs = (
+        index.postings_flat.join(F.broadcast(matching), "term", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    if index.deletes is not None:
+        docs = docs.join(index.deletes.select("doc_id"), "doc_id", "left_anti")
+    return (
+        docs.withColumn("score", F.lit(1.0))
+        .orderBy(F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
 def bm25_sorted_by_field(
     index: InvertedIndex,
     query: str,

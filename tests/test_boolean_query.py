@@ -63,8 +63,30 @@ def test_parse_boost_and_field():
         parse_query("title:alpha")
     with pytest.raises(QueryParseError, match="unbalanced"):
         parse_query("(alpha")
-    with pytest.raises(QueryParseError, match="wildcard"):
-        parse_query("al*pha")
+    with pytest.raises(QueryParseError, match="leading wildcard"):
+        parse_query("*alpha")
+
+
+def test_parse_multiterm_and_inword_operators():
+    # in-word '-'/'+' are term characters, not operators (ADVICE r2)
+    cs = parse_query("wi-fi c++")
+    assert [(c.kind, c.occur, c.text) for c in cs] == [
+        ("term", SHOULD, "wi-fi"), ("term", SHOULD, "c++")
+    ]
+    cs = parse_query("-wi-fi +c++")
+    assert [(c.occur, c.text) for c in cs] == [
+        (MUST_NOT, "wi-fi"), (MUST, "c++")
+    ]
+    # multiterm variants lowercase (Solr multiterm analysis)
+    cs = parse_query('Tele* al*pha te?t merGr~1 fuzz~ "a b"~2')
+    assert (cs[0].kind, cs[0].text) == ("prefix", "tele")
+    assert (cs[1].kind, cs[1].text) == ("wildcard", "al*pha")
+    assert (cs[2].kind, cs[2].text) == ("wildcard", "te?t")
+    assert (cs[3].kind, cs[3].text, cs[3].distance) == ("fuzzy", "mergr", 1)
+    assert (cs[4].kind, cs[4].text, cs[4].distance) == ("fuzzy", "fuzz", 2)
+    assert (cs[5].kind, cs[5].text, cs[5].slop) == ("phrase", "a b", 2)
+    with pytest.raises(QueryParseError, match="> 2"):
+        parse_query("term~3")
 
 
 # ---------------------------------------------------------------------------
@@ -199,7 +221,9 @@ def test_parser_fuzz_never_crashes_unexpectedly():
             return
         for c in _walk(clauses):
             assert c.occur in (SHOULD, MUST, MUST_NOT)
-            assert c.kind in ("term", "phrase", "prefix", "range", "group")
+            assert c.kind in (
+                "term", "phrase", "prefix", "wildcard", "fuzzy", "range", "group"
+            )
             assert c.boost >= 0  # ^0 is legal (zeroes the contribution)
 
     def _walk(cs):
@@ -208,6 +232,68 @@ def test_parser_fuzz_never_crashes_unexpectedly():
             yield from _walk(c.children)
 
     run()
+
+
+def test_fuzzy_execution(idx):
+    """'mergr~1' expands to {merge} only in this vocab; the blend then
+    equals a plain single-term BM25 query."""
+    index, pos = idx
+    a = _rows(boolean_query_topk(index, "mergr~1", k=10, positions=pos, quantize=False))
+    b = _rows(bm25_topk(index, "merge", k=10, quantize=False).select("doc_id", "score"))
+    assert [d for d, _ in a] == [d for d, _ in b]
+    for (_, sa), (_, sb) in zip(a, b):
+        assert sa == pytest.approx(sb, abs=1e-12)
+
+
+def test_fuzzy_blends_members(idx):
+    """'sorr~1' expands to {sort} (and nothing else) -> docs with 'sort';
+    'bubbl~2' hits {bubble} docs."""
+    index, pos = idx
+    rows = boolean_query_topk(index, "bubbl~2", k=10, positions=pos, quantize=False).collect()
+    assert {r["doc_id"] for r in rows} == {0, 6}
+
+
+def test_wildcard_execution(idx):
+    index, pos = idx
+    # 's?rt' -> 'sort'; constant-score 1.0, docID-asc order
+    rows = boolean_query_topk(index, "s?rt", k=10, positions=pos, quantize=False).collect()
+    assert {r["doc_id"] for r in rows} == {0, 1, 3, 5}
+    assert all(r["score"] == 1.0 for r in rows)
+    # 'm*e' -> merge (and nothing else here); 'w*w' -> window
+    rows = boolean_query_topk(index, "w?nd*", k=10, positions=pos, quantize=False).collect()
+    assert {r["doc_id"] for r in rows} == {4, 5}
+
+
+def test_sloppy_phrase_execution(idx):
+    """doc 1: 'sort merge join is a classic merge strategy' — "sort join"
+    is not adjacent (gap 2) so slop 0 misses, slop 1 hits."""
+    index, pos = idx
+    assert boolean_query_topk(index, '"sort join"', k=10, positions=pos).count() == 0
+    rows = boolean_query_topk(index, '"sort join"~1', k=10, positions=pos).collect()
+    assert [r["doc_id"] for r in rows] == [1]
+    # exact phrase still matches under the sloppy matcher (slop >= 0 superset)
+    exact = boolean_query_topk(index, '"merge sort"', k=10, positions=pos, quantize=False)
+    sloppy = boolean_query_topk(index, '"merge sort"~2', k=10, positions=pos, quantize=False)
+    assert {r["doc_id"] for r in exact.collect()} <= {r["doc_id"] for r in sloppy.collect()}
+    # slop must NOT admit reversed order in this implementation (documented)
+    assert boolean_query_topk(index, '"join sort"~1', k=10, positions=pos).count() == 0
+
+
+def test_sloppy_phrase_three_terms(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "a x b c"), (2, "a x x b x c"), (3, "c b a")],
+        "doc_id long, text string",
+    )
+    index = build_index(docs, text_col="text", key_cols=(), profile="simple",
+                        doc_id_col="doc_id")
+    pos = build_positions(docs, profile="simple")
+    got = lambda q: {r["doc_id"] for r in
+                     boolean_query_topk(index, q, k=10, positions=pos).collect()}
+    assert got('"a b c"') == {0}
+    assert got('"a b c"~1') == {0, 1}     # one inserted token
+    assert got('"a b c"~2') == {0, 1}     # doc 2 needs c by +4, c is at +5
+    assert got('"a b c"~3') == {0, 1, 2}  # b at +3 <= 1+3, c at +5 <= 2+3
+    index.release()
 
 
 def test_unmatchable_must_empty(idx):
