@@ -800,19 +800,35 @@ def q_ann_lsh(spark, sf_dir):
     return rp_lsh_cosine_topk(emb, qv, dim=len(qv), k=10, bits=16, radius=4)
 
 
-def q_media_features(spark, sf_dir):
-    """Multimodal plumbing (rows-only): binary payload + typed metadata ->
-    Arrow-batched mapInPandas feature extraction (decode kernel is a
-    deterministic stub; the Spark dataflow is real). The vector is exploded
-    to (media_id, dim, value) rows — scalar columns the driver's
-    canonicalizer can hash (array columns are not hashable)."""
-    from solr_sematic_importer_spark.operators.multimodal import (
-        extract_features,
-        synthetic_media,
-    )
+_MEDIA_PARQUET = "/tmp/ssi_media_oracle.parquet"
+_MEDIA_READY = False
+
+
+def _media(spark) -> DataFrame:
+    """Materialized synthetic media table shared by the Spark queries AND
+    the DuckDB oracle (read_parquet on the same path): the binary payload
+    for the engine, a payload_bytes int array for the oracle's independent
+    recomputation. Deterministic (seeded), size-independent of sf."""
+    global _MEDIA_READY
+    from solr_sematic_importer_spark.operators.multimodal import materialize_media
 
     _prepare(spark)
-    feats = extract_features(synthetic_media(spark, 120))
+    if not _MEDIA_READY:
+        materialize_media(spark, _MEDIA_PARQUET, n=120)
+        _MEDIA_READY = True
+    return spark.read.parquet(_MEDIA_PARQUET)
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal feature extraction, oracle-gated: binary payload ->
+    Arrow-batched mapInPandas -> count-normalized byte histogram
+    (payload_features). The vector is exploded to (media_id, dim, value)
+    rows — scalar columns the driver's canonicalizer can hash. The DuckDB
+    oracle recomputes the histogram from the parquet's payload_bytes
+    array; the Spark side reads ONLY the binary column."""
+    from solr_sematic_importer_spark.operators.multimodal import payload_features
+
+    feats = payload_features(_media(spark))
     return feats.select(
         "media_id", F.posexplode("feature").alias("dim", "value")
     ).select("media_id", "dim", F.round("value", 6).alias("value"))
@@ -909,23 +925,24 @@ def q_streaming_dedup(spark, sf_dir):
 
 
 def q_media_frames(spark, sf_dir):
-    from solr_sematic_importer_spark.operators.multimodal import (
-        sample_frames,
-        synthetic_media,
-    )
+    """Video frame-sampling plan over the materialized media table:
+    JVM-side posexplode of a duration-derived sequence (no payload read).
+    Oracle: the same expansion via generate_series over meta.duration_ms."""
+    from solr_sematic_importer_spark.operators.multimodal import sample_frames
 
-    _prepare(spark)
-    return sample_frames(synthetic_media(spark, 120), every_ms=1000)
+    return sample_frames(_media(spark), every_ms=1000)
 
 
 def q_media_stats(spark, sf_dir):
-    from solr_sematic_importer_spark.operators.multimodal import (
-        media_stats,
-        synthetic_media,
-    )
+    """Metadata-only media aggregation (payload pages never read — column
+    pruning): counts/bytes/durations per kind, oracle-gated."""
+    from solr_sematic_importer_spark.operators.multimodal import media_stats
 
-    _prepare(spark)
-    return media_stats(synthetic_media(spark, 120))
+    stats = media_stats(_media(spark))
+    return stats.select(
+        "kind", "cnt", "total_bytes",
+        F.round("avg_duration_ms", 4).alias("avg_duration_ms"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1573,4 +1590,35 @@ FROM ranked WHERE rn = 1 ORDER BY m DESC, parent_id ASC LIMIT 10""",
             SELECT c_custkey AS custkey, c_name AS name,
                    round(c_acctbal * 100)::BIGINT AS acctbal_cents
             FROM customer""",
+        "media_features": f"""
+            WITH m AS (
+                SELECT media_id, payload_bytes,
+                       len(payload_bytes)::BIGINT AS n
+                FROM read_parquet('{_MEDIA_PARQUET}/*.parquet')
+            ),
+            cb AS (
+                SELECT media_id, b // 4 AS bin, count(*)::BIGINT AS cnt
+                FROM (SELECT media_id, unnest(payload_bytes) AS b FROM m)
+                GROUP BY media_id, bin
+            ),
+            dims AS (SELECT unnest(generate_series(0, 63)) AS dim)
+            SELECT m.media_id, dims.dim::INT AS dim,
+                   round(coalesce(cb.cnt, 0)::DOUBLE / m.n, 6) AS value
+            FROM m CROSS JOIN dims
+            LEFT JOIN cb ON cb.media_id = m.media_id AND cb.bin = dims.dim""",
+        "media_frame_sample": f"""
+            WITH v AS (
+                SELECT media_id,
+                       greatest(1, cast(floor(meta.duration_ms / 1000.0) AS INT)) AS nf
+                FROM read_parquet('{_MEDIA_PARQUET}/*.parquet')
+                WHERE kind = 'video'
+            )
+            SELECT media_id, f::INT AS frame_idx, (f * 1000)::BIGINT AS ts_ms
+            FROM (SELECT media_id, unnest(generate_series(0, nf - 1)) AS f FROM v)""",
+        "media_stats_by_kind": f"""
+            SELECT kind, count(*)::BIGINT AS cnt,
+                   sum(meta.nbytes)::BIGINT AS total_bytes,
+                   round(avg(meta.duration_ms), 4) AS avg_duration_ms
+            FROM read_parquet('{_MEDIA_PARQUET}/*.parquet')
+            GROUP BY kind""",
     }

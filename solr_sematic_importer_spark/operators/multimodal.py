@@ -67,6 +67,34 @@ def synthetic_media(spark, n: int = 200, seed: int = 42) -> DataFrame:
     return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
 
 
+def materialize_media(spark, path: str, n: int = 120, seed: int = 42) -> str:
+    """Write the synthetic media table to parquet WITH a ``payload_bytes``
+    array<smallint> side-column carrying the payload's byte values — the
+    oracle hook: DuckDB cannot crack a BLOB apart, but it can unnest the
+    int array and recompute the byte histogram independently, so the
+    driver's SQL oracle verifies the binary-column mapInPandas kernel
+    value-for-value against the SAME parquet bytes. The engine side only
+    ever reads the ``payload`` binary column (check ReadSchema)."""
+
+    def widen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if not len(b):
+                continue
+            b = b.copy()
+            b["payload_bytes"] = [
+                np.frombuffer(p, dtype=np.uint8).astype(np.int16)
+                for p in b["payload"]
+            ]
+            yield b
+
+    media = synthetic_media(spark, n, seed)
+    wide = media.mapInPandas(
+        widen, MEDIA_SCHEMA + ", payload_bytes array<smallint>"
+    )
+    wide.write.mode("overwrite").parquet(path)
+    return path
+
+
 # ---------------------------------------------------------------------------
 # Decode kernels — STUBS. Real codecs are not installed in this container.
 # ---------------------------------------------------------------------------
@@ -125,6 +153,33 @@ def extract_features(
 
     imgs = media.filter(F.col("kind") == "image").select("media_id", "payload", "meta")
     return imgs.mapInPandas(kernel, "media_id long, feature array<double>")
+
+
+def payload_features(media: DataFrame, bins: int = FEATURE_DIM) -> DataFrame:
+    """Count-normalized byte histogram of the raw payload — the
+    deterministic, SQL-verifiable feature kernel (the oracle recomputes it
+    from ``payload_bytes``): feature[i] = #{bytes in [4i, 4i+4)} / nbytes.
+    Unlike the decode-stub path this runs on ALL kinds (a byte histogram
+    is codec-agnostic); the Spark plumbing — binary column through an
+    Arrow batch into NumPy, vector out — is exactly the real feature
+    extractor's. Division by the int count (not an L2 norm) keeps both
+    sides' doubles bit-identical."""
+    shift = 8 - (bins - 1).bit_length()  # 64 bins -> byte >> 2
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            feats = [
+                np.bincount(
+                    np.frombuffer(p, dtype=np.uint8) >> shift, minlength=bins
+                ).astype(np.float64)
+                / max(len(p), 1)
+                for p in b["payload"]
+            ]
+            yield pd.DataFrame({"media_id": b["media_id"], "feature": feats})
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, "media_id long, feature array<double>"
+    )
 
 
 def resize_images(
