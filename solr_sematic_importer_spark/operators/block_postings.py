@@ -158,6 +158,8 @@ def build_block_postings(
         index.postings_flat, index.avgdl, bucket_bits, k1, b
     )
     index.postings_blocks = blocks
+    index.bucket_bits = bucket_bits
+    index.impacts_avgdl = index.avgdl
     return blocks
 
 
@@ -263,19 +265,28 @@ def bm25_topk_wand(
 
     sorted_terms = sorted(weights)
 
-    # Deletion vector as a broadcast sorted array — the analog of Lucene's
-    # in-memory live-docs bitset. Deleted docs are zeroed INSIDE the bucket
-    # scorer, BEFORE its per-bucket top-k cut: an anti-join after the cut
-    # would silently drop live docs ranked just below deleted ones.
-    del_bc = None
-    if index.deletes is not None:
-        del_arr = np.sort(
-            np.fromiter(
-                (r["doc_id"] for r in index.deletes.select("doc_id").collect()),
-                dtype=np.int64,
+    # Deletion vector kept BUCKETED, never collected to the driver: group
+    # deletes by bucket_id (same doc_id >> bucket_bits cut as the blocks)
+    # into sorted per-bucket arrays and LEFT-join them onto the candidate
+    # block rows, so each bucket scorer receives only its own slice — at
+    # the 10^12-doc design point with 1% deletes the full vector is an
+    # ~80 GB driver array, but a single bucket's slice is bounded by the
+    # bucket width (2**bucket_bits docs). Deleted docs are zeroed INSIDE
+    # the bucket scorer, BEFORE its per-bucket top-k cut: an anti-join
+    # after the cut would silently drop live docs ranked just below
+    # deleted ones. (Lucene analog: per-segment live-docs, not one global
+    # bitset on the coordinator.)
+    has_deletes = index.deletes is not None
+    if has_deletes:
+        bb = index.bucket_bits if index.bucket_bits is not None else DEFAULT_BUCKET_BITS
+        del_by_bucket = (
+            index.deletes.select(
+                F.shiftright("doc_id", bb).alias("bucket_id"), "doc_id"
             )
+            .groupBy("bucket_id")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("_dels"))
         )
-        del_bc = spark.sparkContext.broadcast(del_arr)
+        cand = cand.join(del_by_bucket, "bucket_id", "left")
 
     def score_bucket(grp: pd.DataFrame) -> pd.DataFrame:
         # applyInPandas: ONE complete bucket per call (a mapInPandas batch
@@ -308,14 +319,23 @@ def bm25_topk_wand(
             scores[docs - lo] += weights[t] * tfs / (
                 tfs + k1 * (1.0 - b + b * dlq / avgdl)
             )
-        if del_bc is not None:
-            da = del_bc.value
-            hit = da[np.searchsorted(da, lo): np.searchsorted(da, hi, side="right")]
-            if hit.size:
-                scores[hit - lo] = 0.0
+        if has_deletes:
+            dels = grp["_dels"].iloc[0]
+            # null array (bucket with no deletes) arrives as None or NaN
+            if isinstance(dels, (list, tuple, np.ndarray)) and len(dels):
+                da = np.asarray(dels, dtype=np.int64)
+                hit = da[np.searchsorted(da, lo): np.searchsorted(da, hi, side="right")]
+                if hit.size:
+                    scores[hit - lo] = 0.0
         nz = np.flatnonzero(scores)
         if nz.size > k:
-            nz = nz[np.argpartition(scores[nz], -k)[-k:]]
+            # deterministic per-bucket cut: (score desc, doc_id asc).
+            # argpartition alone is arbitrary among EXACT score ties
+            # (identical docs tie bit-for-bit), and the survivor set then
+            # diverges from the exhaustive scorer's doc_id tie-break.
+            # nz is ascending, so a stable sort on -score preserves the
+            # doc_id order within each tied score group.
+            nz = nz[np.argsort(-scores[nz], kind="stable")[:k]]
         return pd.DataFrame({"doc_id": nz + lo, "score": scores[nz]})
 
     # Fast path: when the candidate posting count (known exactly from df)
@@ -343,12 +363,22 @@ def bm25_topk_wand(
     # heap + driver merge of <= batch rows) with the WAND threshold pushed
     # into the scan as a `ub > theta` filter, and a (ub, bucket_id) cursor
     # excluding already-scored buckets.
+    # Stored max_impact was encoded with impacts_avgdl; if the query-time
+    # avgdl has risen above it (deletes removed mostly-short docs, stats
+    # recomputed at compaction), true impacts exceed the stored bound.
+    # impact = tf/(tf + k1(1-b) + k1·b·dl/avgdl) grows by at most the
+    # factor avgdl_q/avgdl_enc when avgdl rises, so scaling the bucket
+    # bound by max(1, avgdl_q/avgdl_enc) keeps it a valid upper bound and
+    # the WAND prune exact (ADVICE r2: the unscaled bound could drop true
+    # top-k buckets).
+    enc_avgdl = index.impacts_avgdl if index.impacts_avgdl else avgdl
+    ub_scale = max(1.0, avgdl / enc_avgdl) if enc_avgdl else 1.0
     ub_df = (
         cand.join(F.broadcast(wdf), "term")
         .groupBy("bucket_id", "term")
         .agg(F.max(F.col("w") * F.col("max_impact")).alias("tub"))
         .groupBy("bucket_id")
-        .agg(F.sum("tub").alias("ub"))
+        .agg((F.sum("tub") * F.lit(ub_scale)).alias("ub"))
         .persist()
     )
 

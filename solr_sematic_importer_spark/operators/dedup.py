@@ -307,14 +307,30 @@ def simhash(tf_df: DataFrame, bits: int = 64) -> DataFrame:
 
 
 def simhash_hamming_pairs(
-    fps: DataFrame, band_bits: int = 16, max_distance: int = 8
+    fps: DataFrame,
+    band_bits: int = 8,
+    max_distance: int = 7,
+    approximate: bool = False,
 ) -> DataFrame:
     """Near-dup candidates from simhash fingerprints, scale-shaped: docs
     sharing any of the 64/band_bits fingerprint bands are candidate pairs
     (a pair within Hamming distance 64/band_bits - 1 of band count shares
     >=1 band by pigeonhole); exact Hamming distance is then computed
-    JVM-side (bit_count of xor) and filtered. No all-pairs join."""
+    JVM-side (bit_count of xor) and filtered. No all-pairs join.
+
+    The pigeonhole guarantee only covers ``max_distance <= 64//band_bits
+    - 1`` (defaults: 8 bands -> complete recall up to distance 7); a larger
+    ``max_distance`` returns pairs beyond the guarantee only when they
+    happen to share a band. That silent recall gap is an error unless the
+    caller opts in with ``approximate=True``."""
     nbands = 64 // band_bits
+    if max_distance > nbands - 1 and not approximate:
+        raise ValueError(
+            f"max_distance={max_distance} exceeds the pigeonhole guarantee "
+            f"for band_bits={band_bits} ({nbands} bands -> complete only "
+            f"<= {nbands - 1}); pass approximate=True to accept partial "
+            "recall beyond that distance"
+        )
     mask = (1 << band_bits) - 1
     banded = fps.select(
         "doc_id",

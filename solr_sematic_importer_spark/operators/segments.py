@@ -53,7 +53,13 @@ from .build import InvertedIndex, build_index
 MANIFEST_SCHEMA = (
     "segment_key string, segment_dir string, n_docs long, doc_id_offset long, "
     "sum_dl long, n_terms long, wall_s double, docs_per_sec double, "
-    "checksum long, profile string, bucket_bits int, created_ts double"
+    "checksum long, profile string, bucket_bits int, created_ts double, "
+    # avgdl the segment's block impacts were ENCODED with. For a fresh
+    # segment this equals sum_dl/n_docs, but after compact applies deletes
+    # the stored n_docs/sum_dl are post-delete while the passthrough
+    # impacts keep their encode-time avgdl — WAND needs the encode value
+    # to keep its bounds valid (see bm25_topk_wand's ub_scale).
+    "impacts_avgdl double"
 )
 
 
@@ -91,6 +97,16 @@ def _require_uniform_bucket_bits(man: pd.DataFrame, op: str) -> int:
             f"{sorted(int(v) for v in vals)}; rebuild or compact per width"
         )
     return int(vals[0])
+
+
+def _enc_avgdls(man: pd.DataFrame) -> pd.Series:
+    """Per-segment avgdl the block impacts were encoded with: the recorded
+    ``impacts_avgdl`` when present, else the fresh-segment identity
+    sum_dl/n_docs (manifests written before the column existed)."""
+    derived = man["sum_dl"].astype(float) / man["n_docs"].astype(float)
+    if "impacts_avgdl" not in man.columns:
+        return derived
+    return man["impacts_avgdl"].astype(float).fillna(derived)
 
 
 def _content_checksum(df: DataFrame, key_cols, text_col) -> int:
@@ -153,6 +169,7 @@ def append_segment(
             int(n_terms), float(wall),
             float(idx.n_docs / wall if wall else 0.0),
             checksum, profile, int(bucket_bits), time.time(),
+            float(idx.avgdl),
         )
     ]
     spark.createDataFrame(row, MANIFEST_SCHEMA).coalesce(1).write.mode(
@@ -220,6 +237,11 @@ def read_segmented_index(spark: SparkSession, path: str) -> InvertedIndex:
         key_cols=tuple(["doc_id", *key_cols_df]),
         postings_blocks=blocks,
         deletes=read_deletes(spark, path),
+        bucket_bits=_require_uniform_bucket_bits(man, "read_segmented_index"),
+        # each segment encoded impacts with its OWN avgdl; the MINIMUM over
+        # segments makes WAND's ub_scale = avgdl_q/impacts_avgdl at least
+        # as large as any single segment requires (conservative, valid)
+        impacts_avgdl=float(_enc_avgdls(man).min()),
     )
 
 
@@ -254,21 +276,27 @@ def compact(
     deletes = read_deletes(spark, path)
     if len(man) < 2 and deletes is None:
         raise ValueError("need >=2 segments or pending deletes to compact")
-    # avgdl for impact bounds: Lucene recomputes norms-based stats only per
-    # full rebuild; we keep the PRE-delete avgdl for re-encoded impacts so
-    # passthrough blocks (encoded with the same avgdl) stay consistent —
-    # WAND bounds remain valid upper bounds either way.
+    # avgdl for re-encoded impacts: the PRE-delete global avgdl. Stored
+    # n_docs/sum_dl shrink with the deletes, so the query-time avgdl can
+    # rise above every encode-time value — the compacted manifest records
+    # impacts_avgdl = min(source segments' encode avgdls) and WAND scales
+    # its bounds by avgdl_q/impacts_avgdl to stay valid (the previous
+    # claim that stale bounds "remain valid upper bounds either way" was
+    # wrong exactly when deletes remove mostly-short docs).
     avgdl = float(man["sum_dl"].sum()) / float(man["n_docs"].sum())
+    impacts_avgdl = float(min(_enc_avgdls(man).min(), avgdl))
 
-    del_bc = None
+    # deletion vector kept BUCKETED (never collected whole to the driver):
+    # per-bucket sorted arrays joined onto only the re-encoded groups
+    del_by_bucket = None
     if deletes is not None:
-        del_arr = np.sort(
-            np.fromiter(
-                (r["doc_id"] for r in deletes.select("doc_id").collect()),
-                dtype=np.int64,
+        del_by_bucket = (
+            deletes.select(
+                F.shiftright("doc_id", bucket_bits).alias("bucket_id"), "doc_id"
             )
+            .groupBy("bucket_id")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("_dels"))
         )
-        del_bc = spark.sparkContext.broadcast(del_arr)
 
     blocks = spark.read.parquet(*[f"{d}/postings_blocks" for d in dirs]).withColumn(
         "_seg", F.regexp_extract(F.input_file_name(), r"segments/([^/]+)/", 1)
@@ -308,9 +336,11 @@ def compact(
         docs = docs[order]
         tfs = np.concatenate(tfs_l)[order]
         norms = np.concatenate(norms_l)[order]
-        if del_bc is not None:
-            keep = ~np.isin(docs, del_bc.value)
-            docs, tfs, norms = docs[keep], tfs[keep], norms[keep]
+        if "_dels" in grp.columns:
+            dels = grp["_dels"].iloc[0]
+            if isinstance(dels, (list, tuple, np.ndarray)) and len(dels):
+                keep = ~np.isin(docs, np.asarray(dels, dtype=np.int64))
+                docs, tfs, norms = docs[keep], tfs[keep], norms[keep]
         if not docs.size:
             return pd.DataFrame(columns=cols)
         dlq = LENGTH_TABLE[norms].astype(np.float64)
@@ -318,10 +348,11 @@ def compact(
         rows = [(term, bucket, *blk) for blk in encode_blocks(docs, tfs, norms, impacts)]
         return pd.DataFrame(rows, columns=cols)
 
-    merged = (
-        blocks.join(F.broadcast(overlap), ["term", "bucket_id"], "left_semi")
-        .groupBy("term", "bucket_id")
-        .applyInPandas(lambda _k, g: reencode(g), BLOCKS_SCHEMA)
+    to_reencode = blocks.join(F.broadcast(overlap), ["term", "bucket_id"], "left_semi")
+    if del_by_bucket is not None:
+        to_reencode = to_reencode.join(del_by_bucket, "bucket_id", "left")
+    merged = to_reencode.groupBy("term", "bucket_id").applyInPandas(
+        lambda _k, g: reencode(g), BLOCKS_SCHEMA
     )
 
     out_dir = f"{path}/segments/{out_key}"
@@ -333,7 +364,9 @@ def compact(
     def _minus_deleted(df: DataFrame) -> DataFrame:
         if deletes is None:
             return df
-        return df.join(F.broadcast(deletes), "doc_id", "left_anti")
+        # no broadcast hint: the delete set can exceed driver/executor
+        # broadcast comfort at scale — let AQE pick the join strategy
+        return df.join(deletes, "doc_id", "left_anti")
 
     # relational tables: unions minus the deletion vector
     _minus_deleted(
@@ -361,6 +394,8 @@ def compact(
             ("sum_dl", str(sum_dl)),
             ("profile", str(man["profile"].iloc[0])),
             ("key_cols", ""),
+            ("impacts_avgdl", repr(impacts_avgdl)),
+            ("bucket_bits", str(bucket_bits)),
         ],
         "key string, value string",
     )
@@ -374,7 +409,7 @@ def compact(
             out_key, out_dir, n_docs, 0, sum_dl, -1,
             0.0, 0.0, int(np.bitwise_xor.reduce(man["checksum"].to_numpy(dtype=np.int64))),
             str(man["profile"].iloc[0]), bucket_bits,
-            time.time(),
+            time.time(), impacts_avgdl,
         )
     ]
     spark.createDataFrame(row, MANIFEST_SCHEMA).coalesce(1).write.mode(
@@ -403,21 +438,29 @@ def update_documents(
     """Solr update-by-uniqueKey semantics (re-adding a doc with an
     existing id replaces it; the reference's whole pipeline relies on
     this — re-running a crawl overwrites by ``id``): expressed natively
-    on the log-structured index as DELETE the old rows (durable deletion
-    vector on the natural key) + APPEND the new slice as a segment. The
-    old versions stop matching immediately; ``compact`` later drops them
-    physically. Returns the append result."""
-    idx = read_segmented_index(spark, path)
-    keys = new_docs.select(*match_on).distinct()
-    victims = idx.doc_stats.join(F.broadcast(keys), list(match_on), "left_semi").select(
-        "doc_id"
-    )
-    record_deletes(spark, path, victims)
-    return append_segment(
+    on the log-structured index as APPEND the new slice as a segment,
+    THEN record the old rows in the durable deletion vector. Commit order
+    matters for crash safety: appending first means a crash between the
+    two steps leaves a brief old+new overlap (recoverable — re-running
+    the same call skips the append and re-records the deletes), whereas
+    deleting first would durably drop the documents with no replacement.
+    The victim scan is bounded to ``doc_id < offset`` of the new segment
+    so a resumed run never deletes the replacement docs it just added.
+    ``compact`` later drops the old versions physically."""
+    res = append_segment(
         spark, path, segment_key, new_docs,
         text_col=text_col, key_cols=key_cols, profile=profile,
         bucket_bits=bucket_bits,
     )
+    idx = read_segmented_index(spark, path)
+    keys = new_docs.select(*match_on).distinct()
+    victims = (
+        idx.doc_stats.filter(F.col("doc_id") < res.doc_id_offset)
+        .join(keys, list(match_on), "left_semi")
+        .select("doc_id")
+    )
+    record_deletes(spark, path, victims)
+    return res
 
 
 def gc_segments(spark: SparkSession, path: str) -> list[str]:
