@@ -945,6 +945,86 @@ def q_media_stats(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# multi-field documents + weighted multi-field query (qf / edismax)
+# --------------------------------------------------------------------------
+
+MF_QF = {"title": 3.0, "body": 1.0}
+MF_TIE = 0.3
+
+
+def _mf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic (title, body) split of the documents table — the MS
+    MARCO-shaped two-field fixture (title = first 8 space-tokens, body =
+    the rest; short docs get an empty body, exercising per-field
+    docCount)."""
+    w = F.split(F.col("text"), " ")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.array_join(F.slice(w, 1, 8), " ").alias("title"),
+        F.array_join(
+            F.expr("slice(split(text, ' '), 9, greatest(size(split(text, ' ')) - 8, 0))"),
+            " ",
+        ).alias("body"),
+    )
+
+
+def _mf_index(spark: SparkSession, sf_dir: str):
+    from solr_sematic_importer_spark.operators.multifield import (
+        build_multifield_index,
+    )
+
+    key = ("mf", sf_dir)
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    _prepare(spark)
+    mf = build_multifield_index(
+        _mf_docs(spark, sf_dir),
+        fields=("title", "body"),
+        profile="simple",
+        doc_id_col="doc_id",
+    )
+    _INDEX_CACHE[key] = mf
+    return mf
+
+
+def q_bm25_multifield(spark, sf_dir):
+    """qf-weighted multi-field BM25 (sum combine): per-field postings +
+    per-field statistics, score = sum_f boost_f * BM25_f(t, d)."""
+    from solr_sematic_importer_spark.operators.multifield import (
+        bm25_multifield_topk,
+    )
+
+    mf = _mf_index(spark, sf_dir)
+    top = bm25_multifield_topk(mf, Q_OR, MF_QF, k=10, quantize=False)
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_bm25_dismax(spark, sf_dir):
+    """edismax DisjunctionMax combine: per term max_f + tie * (sum - max)."""
+    from solr_sematic_importer_spark.operators.multifield import (
+        bm25_multifield_topk,
+    )
+
+    mf = _mf_index(spark, sf_dir)
+    top = bm25_multifield_topk(
+        mf, Q_OR, MF_QF, k=10, quantize=False, combine="dismax", tie=MF_TIE
+    )
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_fielded_query(spark, sf_dir):
+    """Classic-parser query with concrete field qualifiers: per-field
+    TermQueries + qf-disjunction for the bare term + MUST_NOT anti-join."""
+    from solr_sematic_importer_spark.operators.multifield import (
+        fielded_query_topk,
+    )
+
+    mf = _mf_index(spark, sf_dir)
+    top = fielded_query_topk(mf, FIELDED_Q, MF_QF, k=10, quantize=False)
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tf_per_doc_term": q_tf,
@@ -967,6 +1047,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_query": q_fuzzy_query,
         "wildcard_query": q_wildcard_query,
         "bm25_phrase_slop": q_bm25_phrase_slop,
+        "bm25_multifield": q_bm25_multifield,
+        "bm25_dismax": q_bm25_dismax,
+        "fielded_query": q_fielded_query,
         "terms_component": q_terms_component,
         "prefix_query": q_prefix_query,
         "more_like_this": q_more_like_this,
@@ -1091,6 +1174,129 @@ scores AS (
 )
 SELECT doc_id, round(raw_score, 4) AS score
 FROM scores {del_where} ORDER BY raw_score DESC, doc_id ASC LIMIT {k} OFFSET {offset}
+"""
+
+
+# shared CTEs for the multi-field oracles: the (title, body) split of the
+# documents table plus per-field tf / dl / stats (docCount_f, avgdl_f)
+_MF_CTES = """docs2 AS (
+    SELECT doc_id,
+           array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ') AS title,
+           array_to_string(
+               list_slice(string_split(text, ' '), 9,
+                          len(string_split(text, ' '))), ' ') AS body
+    FROM documents
+),
+ftoks AS (
+    SELECT * FROM (
+        SELECT doc_id, 'title' AS field,
+               unnest(string_split_regex(lower(title), '[^a-z0-9]+')) AS term
+        FROM docs2
+        UNION ALL
+        SELECT doc_id, 'body',
+               unnest(string_split_regex(lower(body), '[^a-z0-9]+'))
+        FROM docs2
+    ) WHERE term <> ''
+),
+ftf AS (
+    SELECT field, doc_id, term, count(*)::BIGINT AS tf
+    FROM ftoks GROUP BY field, doc_id, term
+),
+fdl AS (
+    SELECT field, doc_id, count(*)::BIGINT AS dl
+    FROM ftoks GROUP BY field, doc_id
+),
+fstats AS (
+    SELECT field, count(*)::BIGINT AS n, sum(dl)::DOUBLE / count(*) AS avgdl
+    FROM fdl GROUP BY field
+)"""
+
+
+def _mf_oracle(terms: list[str], combine: str = "sum", k: int = 10) -> str:
+    """Multi-field qf-weighted BM25 oracle: (title, body) split of the
+    documents table with per-field stats (docCount_f, avgdl_f, df_f) and
+    either the weighted-sum or the DisMax(tie) per-term combine — the SQL
+    mirror of operators/multifield.py."""
+    terms_sql = ", ".join(f"'{t}'" for t in terms)
+    boosts_sql = " UNION ALL ".join(
+        f"SELECT '{f}' AS field, {w} AS boost" for f, w in MF_QF.items()
+    )
+    if combine == "dismax":
+        per_doc = f"""
+perterm AS (
+    SELECT doc_id, term,
+           max(p) + {MF_TIE} * (sum(p) - max(p)) AS s
+    FROM partials GROUP BY doc_id, term
+),
+scores AS (SELECT doc_id, sum(s) AS raw FROM perterm GROUP BY doc_id)"""
+    else:
+        per_doc = """
+scores AS (SELECT doc_id, sum(p) AS raw FROM partials GROUP BY doc_id)"""
+    return f"""
+WITH {_MF_CTES},
+qt AS (SELECT unnest([{terms_sql}]) AS term),
+fdft AS (
+    SELECT field, term, count(*)::BIGINT AS df FROM ftf
+    WHERE term IN (SELECT term FROM qt) GROUP BY field, term
+),
+boosts AS ({boosts_sql}),
+partials AS (
+    SELECT ftf.doc_id, ftf.term,
+           b.boost * ln(1 + (fs.n - fdft.df + 0.5) / (fdft.df + 0.5))
+             * ftf.tf / (ftf.tf + {BM25_K1} * (1 - {BM25_B}
+                         + {BM25_B} * fdl.dl / fs.avgdl)) AS p
+    FROM ftf
+    JOIN fdft USING (field, term)
+    JOIN fdl USING (field, doc_id)
+    JOIN fstats fs USING (field)
+    JOIN boosts b USING (field)
+),{per_doc}
+SELECT doc_id, round(raw, 4) AS score
+FROM scores ORDER BY raw DESC, doc_id ASC LIMIT {k}
+"""
+
+
+FIELDED_Q = "title:merge body:sort window -title:dup"
+
+
+def _fielded_oracle(k: int = 10) -> str:
+    """Oracle for FIELDED_Q over the multi-field index: per-field
+    TermQueries for the qualified clauses, an edismax qf-sum for the
+    unqualified term, and an anti-join for the prohibited clause."""
+    cl_rows = [
+        ("title", "merge", 1.0),
+        ("body", "sort", 1.0),
+    ] + [(f, "window", w) for f, w in MF_QF.items()]
+    cl_sql = " UNION ALL ".join(
+        f"SELECT '{f}' AS field, '{t}' AS term, {w} AS cboost"
+        for f, t, w in cl_rows
+    )
+    return f"""
+WITH {_MF_CTES},
+cl AS ({cl_sql}),
+fdft AS (
+    SELECT field, term, count(*)::BIGINT AS df FROM ftf
+    WHERE (field, term) IN (SELECT (field, term) FROM cl)
+    GROUP BY field, term
+),
+partials AS (
+    SELECT ftf.doc_id,
+           cl.cboost * ln(1 + (fs.n - fdft.df + 0.5) / (fdft.df + 0.5))
+             * ftf.tf / (ftf.tf + {BM25_K1} * (1 - {BM25_B}
+                         + {BM25_B} * fdl.dl / fs.avgdl)) AS p
+    FROM ftf
+    JOIN cl USING (field, term)
+    JOIN fdft USING (field, term)
+    JOIN fdl USING (field, doc_id)
+    JOIN fstats fs USING (field)
+),
+scores AS (SELECT doc_id, sum(p) AS raw FROM partials GROUP BY doc_id),
+banned AS (
+    SELECT DISTINCT doc_id FROM ftf WHERE field = 'title' AND term = 'dup'
+)
+SELECT doc_id, round(raw, 4) AS score
+FROM scores WHERE doc_id NOT IN (SELECT doc_id FROM banned)
+ORDER BY raw DESC, doc_id ASC LIMIT {k}
 """
 
 
@@ -1319,6 +1525,9 @@ scores AS (
 )
 SELECT doc_id, round(raw_score, 4) AS score
 FROM scores ORDER BY raw_score DESC, doc_id ASC LIMIT 10""",
+        "bm25_multifield": _mf_oracle(Q_OR.split(), combine="sum"),
+        "bm25_dismax": _mf_oracle(Q_OR.split(), combine="dismax"),
+        "fielded_query": _fielded_oracle(),
         "terms_component": f"""
             WITH {_TF}
             SELECT term, count(*)::BIGINT AS df FROM tf

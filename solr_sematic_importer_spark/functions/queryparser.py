@@ -19,9 +19,13 @@ collection user types daily:
   dictionary (inclusive / exclusive bounds, ``*`` = open end;
   constant-score rewrite)
 * ``term^2.5`` boost
-* ``field:term`` — only the default search field is addressable (the
-  engine indexes one analyzed field, like the reference's ``_text_``
-  catch-all); any other field name raises.
+* ``field:term`` — by default only the default search field is
+  addressable (the single-field engine indexes one analyzed field, like
+  the reference's ``_text_`` catch-all). ``parse_query(q, fields=...)``
+  opts in named concrete fields (the multi-field index,
+  ``operators/multifield.py``): a qualified clause carries its field on
+  ``Clause.field`` and is scored against that field's postings only,
+  exactly Lucene's per-field TermQuery. Unknown field names still raise.
 
 ``+``/``-`` are operators only at clause start (string start, after
 whitespace, or after ``(``) — inside a word they are term characters, so
@@ -79,14 +83,18 @@ class Clause:
     hi_inc: bool = True
     distance: int = 2              # fuzzy max edit distance (Lucene cap: 2)
     slop: int = 0                  # phrase slop ("a b"~N)
+    field: str | None = None       # concrete field (multi-field index); None = default
 
 
 class QueryParseError(ValueError):
     pass
 
 
-def parse_query(q: str) -> list[Clause]:
-    """Query string -> top-level clause list."""
+def parse_query(q: str, fields=None) -> list[Clause]:
+    """Query string -> top-level clause list. ``fields``: optional
+    collection of addressable concrete field names (multi-field index) —
+    ``field:term`` with a name in it sets ``Clause.field``; names outside
+    it (and outside the default-field aliases) raise."""
     tokens = []
     pos = 0
     while pos < len(q):
@@ -97,25 +105,33 @@ def parse_query(q: str) -> list[Clause]:
         if m.lastgroup in (None, "ws"):
             continue
         tokens.append(m)
-    clauses, i = _parse_clauses(tokens, 0, q)
+    clauses, i = _parse_clauses(tokens, 0, q, frozenset(fields or ()))
     if i != len(tokens):
         raise QueryParseError("unbalanced ')'")
     return clauses
 
 
-def _strip_field(word: str) -> str:
+def _strip_field(word: str, fields: frozenset) -> tuple[str | None, str]:
+    """-> (concrete field or None, remaining word)."""
     if ":" in word:
         fld, rest = word.split(":", 1)
-        if fld not in DEFAULT_FIELDS:
+        if not rest:
             raise QueryParseError(
-                f"field '{fld}' is not addressable; the engine indexes one "
-                f"analyzed field ({sorted(DEFAULT_FIELDS)})"
+                f"dangling field qualifier {word!r} (field-qualified "
+                "phrases/ranges are not supported)"
             )
-        return rest
-    return word
+        if fld in fields:
+            return fld, rest
+        if fld not in DEFAULT_FIELDS:
+            known = sorted(DEFAULT_FIELDS | fields)
+            raise QueryParseError(
+                f"field '{fld}' is not addressable (known: {known})"
+            )
+        return None, rest
+    return None, word
 
 
-def _parse_clauses(tokens, i, q) -> tuple[list[Clause], int]:
+def _parse_clauses(tokens, i, q, fields: frozenset = frozenset()) -> tuple[list[Clause], int]:
     out: list[Clause] = []
     pending: str | None = None   # explicit +/-/NOT for the next clause
     conj: str | None = None      # AND / OR linking prev and next
@@ -139,7 +155,7 @@ def _parse_clauses(tokens, i, q) -> tuple[list[Clause], int]:
             return out, i
         i += 1
         if g == "lpar":
-            children, i = _parse_clauses(tokens, i, q)
+            children, i = _parse_clauses(tokens, i, q, fields)
             if i >= len(tokens) or tokens[i].lastgroup != "rpar":
                 raise QueryParseError("unbalanced '('")
             i += 1
@@ -176,8 +192,9 @@ def _parse_clauses(tokens, i, q) -> tuple[list[Clause], int]:
             node.boost, i = _maybe_boost(tokens, i)
             attach(node)
         elif g == "word":
-            word = _strip_field(m.group("word"))
+            fld, word = _strip_field(m.group("word"), fields)
             node = _word_clause(word)
+            node.field = fld
             node.boost, i = _maybe_boost(tokens, i)
             attach(node)
         elif g == "boost":
