@@ -1013,6 +1013,50 @@ def q_bm25_dismax(spark, sf_dir):
     return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_schemaless_infer(spark, sf_dir):
+    """Solr schemaless add-unknown-fields chain (semantic_base_config.zip
+    -> solrconfig.xml:891-947): remove-blank, field-name mutation,
+    parse-boolean/long/double/date fallback, text -> *_str copy field
+    truncated at 256 chars. The fixture stringifies orders columns with
+    one name needing sanitizing, one blank-bearing text column, and one
+    mixed numeric column that must fall through long to double."""
+    from solr_sematic_importer_spark.sources.schemaless import (
+        infer_field_types,
+    )
+
+    _prepare(spark)
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    fixture = o.select(
+        F.col("o_orderkey").cast("string").alias("order key!"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("")).otherwise(
+            F.col("o_orderstatus")
+        ).alias("status"),
+        F.format_string("%.2f", F.col("o_totalprice")).alias("price"),
+        F.date_format(F.col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("odate"),
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit("true")).otherwise(
+            F.lit("False")
+        ).alias("flag"),
+        F.when(F.col("o_orderkey") == 0, F.lit("1.5")).otherwise(
+            F.col("o_orderkey").cast("string")
+        ).alias("mixed"),
+        F.repeat(F.col("o_orderpriority"), 40).alias("longtext"),
+    )
+    typed, types = infer_field_types(fixture)
+    assert types["order_key_"] == "long" and types["flag"] == "boolean"
+    assert types["price"] == "double" and types["odate"] == "date"
+    assert types["mixed"] == "double" and types["status"] == "text"
+    return typed.select(
+        "order_key_",
+        "flag",
+        F.round("price", 2).alias("price"),
+        "odate",
+        F.round("mixed", 2).alias("mixed"),
+        "status",
+        "status_str",
+        F.length("longtext_str").alias("lt_len"),
+    )
+
+
 def q_fielded_query(spark, sf_dir):
     """Classic-parser query with concrete field qualifiers: per-field
     TermQueries + qf-disjunction for the bare term + MUST_NOT anti-join."""
@@ -1050,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_multifield": q_bm25_multifield,
         "bm25_dismax": q_bm25_dismax,
         "fielded_query": q_fielded_query,
+        "schemaless_infer": q_schemaless_infer,
         "terms_component": q_terms_component,
         "prefix_query": q_prefix_query,
         "more_like_this": q_more_like_this,
@@ -1096,6 +1141,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_embed_ann_topk": q_chunk_embed_ann,
         "highlight_topk": q_highlight_topk,
         "streaming_dedup": q_streaming_dedup,
+    }
+
+
+def rows_only() -> set[str]:
+    """Entries intentionally WITHOUT an oracle_sql() row (non-SQL-
+    expressible: Lucene SmallFloat-quantized scoring, approximate ANN,
+    seeded k-means/graph construction, streaming state, resume side
+    effects). Every queries() key must appear in oracle_sql() OR here —
+    tests/test_entry_contract.py enforces the lockstep so an entry can
+    never silently ship unverified (VERDICT r2 next-round #8)."""
+    return {
+        "bm25_lucene_text_en",
+        "bm25_wand_blocks",
+        "segmented_build_resume",
+        "minhash_lsh_candidates",
+        "simhash_fingerprints",
+        "ann_lsh_topk",
+        "ann_ivf_topk",
+        "ann_hnsw_topk",
+        "chunk_embed_ann_topk",
+        "highlight_topk",
+        "streaming_dedup",
     }
 
 
@@ -1528,6 +1595,27 @@ FROM scores ORDER BY raw_score DESC, doc_id ASC LIMIT 10""",
         "bm25_multifield": _mf_oracle(Q_OR.split(), combine="sum"),
         "bm25_dismax": _mf_oracle(Q_OR.split(), combine="dismax"),
         "fielded_query": _fielded_oracle(),
+        "schemaless_infer": """
+WITH fx AS (
+    SELECT CAST(o_orderkey AS VARCHAR) AS okey,
+           CASE WHEN o_orderkey % 3 = 0 THEN '' ELSE o_orderstatus END AS status,
+           printf('%.2f', o_totalprice) AS price,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS odate,
+           CASE WHEN o_orderkey % 2 = 0 THEN 'true' ELSE 'False' END AS flag,
+           CASE WHEN o_orderkey = 0 THEN '1.5'
+                ELSE CAST(o_orderkey AS VARCHAR) END AS mixed,
+           repeat(o_orderpriority, 40) AS longtext
+    FROM orders
+)
+SELECT CAST(okey AS BIGINT) AS order_key_,
+       (lower(flag) = 'true') AS flag,
+       round(CAST(price AS DOUBLE), 2) AS price,
+       strptime(odate, '%Y-%m-%d %H:%M:%S') AS odate,
+       round(CAST(mixed AS DOUBLE), 2) AS mixed,
+       nullif(status, '') AS status,
+       substring(nullif(status, ''), 1, 256) AS status_str,
+       length(substring(longtext, 1, 256))::INT AS lt_len
+FROM fx""",
         "terms_component": f"""
             WITH {_TF}
             SELECT term, count(*)::BIGINT AS df FROM tf

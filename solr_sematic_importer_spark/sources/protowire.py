@@ -387,3 +387,78 @@ def decode_protobuf_records(
             yield out
 
     return df.select(*keep_cols, bytes_col).mapInPandas(kernel, ddl)
+
+
+# ---------------------------------------------------------------------------
+# descriptor -> schema generation (ProtobufToSolrSchema.java)
+# ---------------------------------------------------------------------------
+
+# protobuf JavaType names the reference emits as the Solr field class
+# (FieldDescriptor.getJavaType().name(), ProtobufToSolrSchema.java:53,75,79),
+# with the well-known-type overrides of handleMessageField (:58-68):
+# Timestamp -> "Date", Duration -> "String", BytesValue -> "Binary",
+# StringValue -> "String".
+_JAVA_TYPE = {
+    "int32": "INT", "uint32": "INT", "sint32": "INT",
+    "int64": "LONG", "uint64": "LONG", "sint64": "LONG",
+    "bool": "BOOLEAN", "enum": "ENUM", "float": "FLOAT", "double": "DOUBLE",
+    "string": "STRING", "bytes": "BYTE_STRING",
+    "timestamp": "Date", "duration": "String",
+    "bytes_value": "Binary", "field_mask": "String", "empty": "String",
+}
+
+
+def solr_schema_fields(schema: dict, prefix: str = "") -> list[tuple[str, str]]:
+    """Descriptor -> the reference's generated Solr schema: (field name,
+    class) pairs with '_'-joined nested names, exactly
+    ``ProtobufToSolrSchema.convertProtobufToSchemaDefinition`` minus the
+    XML wrapper (each pair is one ``<fieldType name=.. class=..>``;
+    repeated and map fields keep their element JavaType, :73-79)."""
+    out: list[tuple[str, str]] = []
+    for fno in sorted(schema):
+        spec = schema[fno]
+        name, typ = spec[0], spec[1]
+        opts = _field_opts(spec)
+        key = f"{prefix}_{name}" if prefix else name
+        if typ == "message":
+            out += solr_schema_fields(opts["schema"], key)
+        elif typ == "map":
+            out.append((key, _JAVA_TYPE[opts["value"]]))
+        else:
+            out.append((key, _JAVA_TYPE[typ]))
+    return out
+
+
+def descriptor_to_struct(schema: dict):
+    """Descriptor -> Spark ``StructType`` preserving NESTING (the
+    Spark-native analog of the reference's schema generation: messages
+    as nested structs, repeated as arrays, maps as MapType). Use
+    ``flat_schema_ddl`` for the flattened Solr-doc shape instead."""
+    from pyspark.sql import types as T
+
+    _atomic = {
+        "int32": T.LongType(), "int64": T.LongType(),
+        "uint32": T.LongType(), "uint64": T.LongType(),
+        "sint32": T.LongType(), "sint64": T.LongType(),
+        "enum": T.LongType(), "bool": T.BooleanType(),
+        "double": T.DoubleType(), "float": T.FloatType(),
+        "string": T.StringType(), "bytes": T.BinaryType(),
+        "timestamp": T.TimestampType(), "duration": T.StringType(),
+        "bytes_value": T.StringType(), "field_mask": T.StringType(),
+        "empty": T.StringType(),
+    }
+    fields = []
+    for fno in sorted(schema):
+        spec = schema[fno]
+        name, typ = spec[0], spec[1]
+        opts = _field_opts(spec)
+        if typ == "message":
+            dt = descriptor_to_struct(opts["schema"])
+        elif typ == "map":
+            dt = T.MapType(T.StringType(), _atomic[opts["value"]])
+        else:
+            dt = _atomic[typ]
+        if opts.get("repeated") and typ != "map":
+            dt = T.ArrayType(dt)
+        fields.append(T.StructField(name, dt))
+    return T.StructType(fields)

@@ -67,6 +67,18 @@ def test_oracle_keys_subset_of_queries():
     assert set(ORACLES) <= set(ALL_QUERIES)
 
 
+def test_every_entry_oracle_gated_or_explicitly_rows_only():
+    """Lockstep: a queries() entry must have an oracle_sql() row OR be
+    named in rows_only() — never silently unverified (an entry that is
+    in neither would reach the driver's correctness run unchecked)."""
+    marked = entrymod.rows_only()
+    assert marked.isdisjoint(ORACLES), marked & set(ORACLES)
+    uncovered = set(ALL_QUERIES) - set(ORACLES) - marked
+    assert not uncovered, f"entries with no oracle and no rows_only marker: {sorted(uncovered)}"
+    stale = marked - set(ALL_QUERIES)
+    assert not stale, f"rows_only names without a queries() entry: {sorted(stale)}"
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()

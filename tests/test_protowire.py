@@ -126,3 +126,58 @@ def test_decode_protobuf_records_to_index(spark):
     )
     top = bm25_topk(idx, "zeppelins", k=5, quantize=False).collect()
     assert len(top) == 5
+
+
+def test_solr_schema_fields_matches_reference_enhancer():
+    """ProtobufToSolrSchema.java: '_'-joined flat names, JavaType class
+    names, well-known-type overrides (Timestamp->Date, Duration->String,
+    BytesValue->Binary), repeated/map keep their element JavaType."""
+    from solr_sematic_importer_spark.sources.protowire import solr_schema_fields
+
+    got = dict(solr_schema_fields(RICH))
+    assert got["person_id"] == "INT" and got["person_name"] == "STRING"
+    assert got["tags"] == "STRING"          # repeated keeps element type
+    assert got["attrs"] == "STRING"         # map keeps value type
+    assert got["scores"] == "LONG"
+    assert got["created"] == "Date"
+    assert got["elapsed"] == "String"
+    assert got["blob"] == "Binary"
+    assert got["delta"] == "LONG" and got["ratio"] == "DOUBLE"
+    assert got["flag"] == "BOOLEAN"
+    # names are emitted in field-number order within each message
+    names = [n for n, _ in solr_schema_fields(PERSON)]
+    assert names == ["id", "name", "email"]
+
+
+def test_descriptor_to_struct_nested(spark):
+    """The Spark-native schema: nesting preserved, and a DataFrame built
+    with it round-trips decoded (unflattened) messages."""
+    from pyspark.sql import types as T
+
+    from solr_sematic_importer_spark.sources.protowire import (
+        decode_message,
+        descriptor_to_struct,
+        encode_message,
+    )
+
+    st = descriptor_to_struct(RICH)
+    assert isinstance(st["person"].dataType, T.StructType)
+    assert st["tags"].dataType == T.ArrayType(T.StringType())
+    assert st["attrs"].dataType == T.MapType(T.StringType(), T.StringType())
+    assert st["scores"].dataType == T.ArrayType(T.LongType())
+    assert st["created"].dataType == T.TimestampType()
+    assert st["ratio"].dataType == T.DoubleType()
+
+    msg = {
+        "person": {"id": 1, "name": "n", "email": "e"},
+        "tags": ["a", "b"],
+        "attrs": {"color": "red"},
+        "scores": [5, 6],
+        "delta": -9,
+        "ratio": 0.5,
+        "flag": True,
+    }
+    dec = decode_message(encode_message(msg, RICH), RICH)
+    row = spark.createDataFrame([dec], st).first()
+    assert row["person"]["name"] == "n" and row["scores"] == [5, 6]
+    assert row["attrs"]["color"] == "red" and row["flag"] is True
