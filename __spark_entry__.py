@@ -1069,6 +1069,84 @@ def q_fielded_query(spark, sf_dir):
     return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_bm25_min_should_match(spark, sf_dir):
+    """edismax mm=2: a doc must match at least 2 of the 3 optional
+    clauses (Lucene BooleanQuery.setMinimumNumberShouldMatch)."""
+    from solr_sematic_importer_spark.operators.score import bm25_topk
+
+    idx = _doc_index(spark, sf_dir)
+    top = bm25_topk(idx, Q_OR, k=10, quantize=False, min_match=2)
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_bm25_boost_function(spark, sf_dir):
+    """edismax boost= multiplicative function query: final =
+    bm25 * recip(n_chars, 0.001, 1, 1) — shorter docs float up."""
+    from solr_sematic_importer_spark.operators.function_query import (
+        bm25_boosted_topk,
+        recip,
+    )
+
+    idx = _doc_index(spark, sf_dir)
+    fields = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    top = bm25_boosted_topk(
+        idx, Q_OR, fields, recip(F.col("n_chars"), 0.001, 1.0, 1.0),
+        k=10, quantize=False,
+    )
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_rerank_query(spark, sf_dir):
+    """rq={!rerank reRankQuery='dup' reRankDocs=30 reRankWeight=2}: only
+    the main query's top-30 get the additive rerank-score adjustment."""
+    from solr_sematic_importer_spark.operators.function_query import rerank_topk
+
+    idx = _doc_index(spark, sf_dir)
+    top = rerank_topk(
+        idx, Q_OR, Q_RARE, rerank_docs=30, rerank_weight=2.0, k=10,
+        quantize=False,
+    )
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_collapse_field(spark, sf_dir):
+    """fq={!collapse field=source}: top-scoring doc per source value,
+    survivors ranked — a flat list, unlike result grouping's groups."""
+    from solr_sematic_importer_spark.operators.function_query import (
+        bm25_collapse_topk,
+    )
+
+    idx = _doc_index(spark, sf_dir)
+    fields = _docs(spark, sf_dir).select("doc_id", "source")
+    top = bm25_collapse_topk(idx, Q_OR, fields, "source", k=10, quantize=False)
+    return top.select(
+        "doc_id", "source", F.round("score", 4).alias("score")
+    )
+
+
+def q_json_facet_stats(spark, sf_dir):
+    """JSON Facet API terms facet with nested stats over the query match
+    set: per-lang bucket count + avg(n_chars) + sum(dl)."""
+    from solr_sematic_importer_spark.operators.score import json_facet_stats
+
+    idx = _doc_index(spark, sf_dir)
+    fields = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars").join(
+        idx.doc_stats.select("doc_id", "dl"), "doc_id"
+    )
+    return json_facet_stats(
+        idx,
+        Q_OR,
+        fields,
+        "lang",
+        aggs=[
+            ("avg_len", lambda c: F.round(F.avg(c("n_chars")), 4)),
+            ("sum_dl", lambda c: F.sum(c("dl"))),
+        ],
+        limit=10,
+        quantize=False,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tf_per_doc_term": q_tf,
@@ -1094,6 +1172,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_multifield": q_bm25_multifield,
         "bm25_dismax": q_bm25_dismax,
         "fielded_query": q_fielded_query,
+        "bm25_min_should_match": q_bm25_min_should_match,
+        "bm25_boost_function": q_bm25_boost_function,
+        "rerank_query": q_rerank_query,
+        "collapse_field": q_collapse_field,
+        "json_facet_stats": q_json_facet_stats,
         "schemaless_infer": q_schemaless_infer,
         "terms_component": q_terms_component,
         "prefix_query": q_prefix_query,
@@ -1198,9 +1281,12 @@ def _bm25_oracle(
     k: int = 10,
     delete_top: int = 0,
     fq: str | None = None,
+    mm: int = 0,
 ) -> str:
     terms_sql = ", ".join(f"'{t}'" for t in terms)
     having = f"HAVING count(*) = {len(set(terms))}" if conjunction else ""
+    if mm:
+        having = f"HAVING count(*) >= {mm}"
     not_in = (
         f"WHERE tf.doc_id NOT IN (SELECT doc_id FROM tf WHERE term = '{exclude}')"
         if exclude
@@ -1241,6 +1327,92 @@ scores AS (
 )
 SELECT doc_id, round(raw_score, 4) AS score
 FROM scores {del_where} ORDER BY raw_score DESC, doc_id ASC LIMIT {k} OFFSET {offset}
+"""
+
+
+def _scores_cte(prefix: str, terms: list[str]) -> str:
+    """One named BM25 scoring CTE chain (``{prefix}qt``, ``{prefix}dft``,
+    ``{prefix}s`` with column ``raw``) over the shared tf/dl/stats CTEs —
+    lets an oracle hold several independent queries (rerank) without CTE
+    name collisions."""
+    terms_sql = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+{prefix}qt AS (SELECT unnest([{terms_sql}]) AS term),
+{prefix}dft AS (
+    SELECT term, count(*)::BIGINT AS df FROM tf
+    WHERE term IN (SELECT term FROM {prefix}qt) GROUP BY term
+),
+{prefix}s AS (
+    SELECT tf.doc_id,
+           sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+               * tf.tf / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl))
+              ) AS raw
+    FROM tf
+    JOIN {prefix}dft d USING (term)
+    JOIN dl USING (doc_id)
+    CROSS JOIN stats s
+    GROUP BY tf.doc_id
+)"""
+
+
+def _boost_oracle(terms: list[str], k: int = 10) -> str:
+    """bm25 * recip(n_chars, 0.001, 1, 1) — expression order mirrors
+    operators/function_query.py::recip so the doubles agree bit-for-bit."""
+    return f"""
+WITH {_TF}{_DL},{_scores_cte('m', terms)}
+SELECT ms.doc_id,
+       round(ms.raw * (1.0 / (0.001 * d.n_chars + 1.0)), 4) AS score
+FROM ms JOIN documents d USING (doc_id)
+ORDER BY ms.raw * (1.0 / (0.001 * d.n_chars + 1.0)) DESC, ms.doc_id ASC
+LIMIT {k}
+"""
+
+
+def _rerank_oracle(
+    main_terms: list[str],
+    rr_terms: list[str],
+    rerank_docs: int,
+    weight: float,
+    k: int = 10,
+) -> str:
+    return f"""
+WITH {_TF}{_DL},{_scores_cte('m', main_terms)},{_scores_cte('r', rr_terms)},
+head AS (
+    SELECT doc_id, raw FROM ms ORDER BY raw DESC, doc_id ASC LIMIT {rerank_docs}
+)
+SELECT h.doc_id, round(h.raw + {weight} * coalesce(rs.raw, 0), 4) AS score
+FROM head h LEFT JOIN rs USING (doc_id)
+ORDER BY h.raw + {weight} * coalesce(rs.raw, 0) DESC, h.doc_id ASC
+LIMIT {k}
+"""
+
+
+def _collapse_oracle(terms: list[str], field: str, k: int = 10) -> str:
+    return f"""
+WITH {_TF}{_DL},{_scores_cte('m', terms)},
+j AS (
+    SELECT ms.doc_id, d.{field}, ms.raw FROM ms
+    JOIN documents d USING (doc_id)
+),
+r AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY {field} ORDER BY raw DESC, doc_id ASC) AS rn
+    FROM j
+)
+SELECT doc_id, {field}, round(raw, 4) AS score
+FROM r WHERE rn = 1 ORDER BY raw DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _json_facet_oracle(terms: list[str], field: str, k: int = 10) -> str:
+    return f"""
+WITH {_TF}{_DL},{_scores_cte('m', terms)}
+SELECT d.{field},
+       count(*)::BIGINT AS count,
+       round(avg(d.n_chars), 4) AS avg_len,
+       sum(dl.dl)::BIGINT AS sum_dl
+FROM ms JOIN documents d USING (doc_id) JOIN dl USING (doc_id)
+GROUP BY d.{field} ORDER BY count DESC, d.{field} ASC LIMIT {k}
 """
 
 
@@ -1595,6 +1767,13 @@ FROM scores ORDER BY raw_score DESC, doc_id ASC LIMIT 10""",
         "bm25_multifield": _mf_oracle(Q_OR.split(), combine="sum"),
         "bm25_dismax": _mf_oracle(Q_OR.split(), combine="dismax"),
         "fielded_query": _fielded_oracle(),
+        "bm25_min_should_match": _bm25_oracle(Q_OR.split(), mm=2),
+        "bm25_boost_function": _boost_oracle(Q_OR.split()),
+        "rerank_query": _rerank_oracle(
+            Q_OR.split(), Q_RARE.split(), rerank_docs=30, weight=2.0
+        ),
+        "collapse_field": _collapse_oracle(Q_OR.split(), "source"),
+        "json_facet_stats": _json_facet_oracle(Q_OR.split(), "lang"),
         "schemaless_infer": """
 WITH fx AS (
     SELECT CAST(o_orderkey AS VARCHAR) AS okey,

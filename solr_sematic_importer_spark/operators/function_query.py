@@ -1,0 +1,208 @@
+"""Solr function queries, boost queries, re-ranking, and field collapse.
+
+The reference delegates its whole query surface to the destination
+collection's ``/select`` handler (``semantic_base_config.zip ->
+solrconfig.xml:650-670``); these are the remaining everyday request
+params of that handler:
+
+* ``boost=`` (edismax multiplicative boost) / ``bf=`` (dismax additive
+  boost function) — a function of a stored field reshapes the ranking;
+* function-query primitives ``recip``, ``linear``, ``log``, ``sqrt``,
+  ``pow``, ``abs`` (Solr ValueSource parser names);
+* ``rq={!rerank reRankQuery=... reRankDocs=N reRankWeight=W}`` — the
+  ReRankQParserPlugin: re-score only the top-N of the main query;
+* ``fq={!collapse field=X}`` — CollapsingQParser: keep only the
+  top-scoring document per group value, then rank the survivors.
+
+Spark shape notes (100 TB):
+
+* boost functions are pure JVM column expressions over ``doc_stats``
+  joined AFTER the scoring agg — the join is doc_id-to-doc_id on the
+  already-reduced match set, never on postings;
+* rerank scores only the top-N (a broadcastable set) — the rerank
+  query's postings scan is semi-joined against those N doc ids, so the
+  second query costs top-N work, not corpus work;
+* collapse is one window on the collapse key over the match set —
+  the same shuffle shape as result grouping, no extra pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.similarity import B_DEFAULT, K1_DEFAULT
+from .build import InvertedIndex
+from .score import score_or_docs
+
+
+# --------------------------------------------------------------------------
+# function-query primitives (Solr ValueSource names, JVM expressions)
+# --------------------------------------------------------------------------
+
+def recip(x: Column, m: float, a: float, b: float) -> Column:
+    """Solr ``recip(x,m,a,b)`` = a / (m*x + b). The standard recency /
+    magnitude dampener (a=b -> max value 1.0 at x=0)."""
+    return F.lit(float(a)) / (F.lit(float(m)) * x.cast("double") + F.lit(float(b)))
+
+
+def linear(x: Column, m: float, c: float) -> Column:
+    """Solr ``linear(x,m,c)`` = m*x + c."""
+    return F.lit(float(m)) * x.cast("double") + F.lit(float(c))
+
+
+def fq_log(x: Column) -> Column:
+    """Solr ``log(x)`` — base-10, like Lucene's LogFloatFunction."""
+    return F.log10(x.cast("double"))
+
+
+def fq_sqrt(x: Column) -> Column:
+    return F.sqrt(x.cast("double"))
+
+
+def fq_pow(x: Column, p: float) -> Column:
+    return F.pow(x.cast("double"), F.lit(float(p)))
+
+
+def fq_abs(x: Column) -> Column:
+    return F.abs(x.cast("double"))
+
+
+# --------------------------------------------------------------------------
+# boosted ranking (edismax boost= / dismax bf=)
+# --------------------------------------------------------------------------
+
+def bm25_boosted_topk(
+    index: InvertedIndex,
+    query: str,
+    fields: DataFrame,
+    boost: Column,
+    k: int = 10,
+    mode: str = "multiply",
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    quantize: bool = True,
+) -> DataFrame:
+    """Top-k where ``final = bm25 * boost(doc)`` (edismax ``boost=``,
+    mode="multiply") or ``bm25 + boost(doc)`` (dismax ``bf=``,
+    mode="sum"). ``fields`` is the stored-field table (doc_id + the
+    columns the boost reads — same contract as ``bm25_sorted_by_field``);
+    ``boost`` is a Column over its columns.
+
+    Plan: scoring agg -> join the stored fields on doc_id (join AFTER
+    the reduction, so the boost input never touches postings) -> one
+    TakeOrderedAndProject. Returns (doc_id, score)."""
+    if mode not in ("multiply", "sum"):
+        raise ValueError(f"mode must be multiply|sum, got {mode!r}")
+    spark = index.postings_flat.sparkSession
+    per_doc = score_or_docs(index, query, k1=k1, b=b, quantize=quantize)
+    if per_doc is None:
+        return spark.createDataFrame([], "doc_id long, score double")
+    stats = fields.withColumn("_boost", boost.cast("double"))
+    joined = per_doc.join(stats.select("doc_id", "_boost"), "doc_id")
+    op = (F.col("score") * F.col("_boost")) if mode == "multiply" else (
+        F.col("score") + F.col("_boost")
+    )
+    return (
+        joined.select("doc_id", op.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+# --------------------------------------------------------------------------
+# re-ranking (ReRankQParserPlugin)
+# --------------------------------------------------------------------------
+
+def rerank_topk(
+    index: InvertedIndex,
+    main_query: str,
+    rerank_query: str,
+    rerank_docs: int = 20,
+    rerank_weight: float = 2.0,
+    k: int = 10,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    quantize: bool = True,
+) -> DataFrame:
+    """Solr ``rq={!rerank}``: take the main query's top ``rerank_docs``,
+    add ``rerank_weight * score(rerank_query)`` to each (docs the rerank
+    query doesn't match keep their original score — Lucene's
+    ReRankScaler-less default), re-sort, return top-k.
+
+    Plan: the top-N cut is TakeOrderedAndProject (N is request-sized, so
+    the re-scored set is tiny and broadcast); the rerank query's postings
+    scan still prunes on its own terms. Returns (doc_id, score)."""
+    spark = index.postings_flat.sparkSession
+    main = score_or_docs(index, main_query, k1=k1, b=b, quantize=quantize)
+    if main is None:
+        return spark.createDataFrame([], "doc_id long, score double")
+    head = (
+        main.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(rerank_docs)
+    )
+    rr = score_or_docs(index, rerank_query, k1=k1, b=b, quantize=quantize)
+    if rr is None:
+        combined = head
+    else:
+        combined = (
+            F.broadcast(head)
+            .join(rr.withColumnRenamed("score", "_rr"), "doc_id", "left")
+            .select(
+                "doc_id",
+                (
+                    F.col("score")
+                    + F.lit(float(rerank_weight)) * F.coalesce(F.col("_rr"), F.lit(0.0))
+                ).alias("score"),
+            )
+        )
+    return combined.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+
+# --------------------------------------------------------------------------
+# field collapse (CollapsingQParserPlugin)
+# --------------------------------------------------------------------------
+
+def bm25_collapse_topk(
+    index: InvertedIndex,
+    query: str,
+    fields: DataFrame,
+    collapse_field: str,
+    k: int = 10,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    quantize: bool = True,
+) -> DataFrame:
+    """Solr ``fq={!collapse field=X}``: within each value of a stored
+    field, keep only the top-scoring document (doc_id-asc tie-break,
+    matching the engine's rank identity), then rank the survivors.
+    Differs from result grouping in surface: collapse returns a flat
+    doc list the rest of the request (facets, paging) operates on.
+    ``fields`` carries (doc_id, collapse key).
+
+    Plan: scoring agg -> doc_id join to fetch the collapse key -> one
+    window partitioned by the key -> TakeOrderedAndProject. Returns
+    (doc_id, <collapse_field>, score)."""
+    from pyspark.sql.window import Window
+
+    spark = index.postings_flat.sparkSession
+    per_doc = score_or_docs(index, query, k1=k1, b=b, quantize=quantize)
+    if per_doc is None:
+        return spark.createDataFrame(
+            [], f"doc_id long, {collapse_field} string, score double"
+        )
+    joined = per_doc.join(
+        fields.select("doc_id", collapse_field), "doc_id"
+    )
+    w = Window.partitionBy(collapse_field).orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    heads = (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return (
+        heads.select("doc_id", collapse_field, "score")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

@@ -39,6 +39,30 @@ def analyze_query(query: str, profile: str) -> list[str]:
     return PROFILES[profile](query)
 
 
+def calculate_min_should_match(spec: "int | str", n_optional: int) -> int:
+    """Solr's ``mm`` spec -> required optional-clause count
+    (SolrPluginUtils.calculateMinShouldMatch semantics, the subset the
+    edismax ``mm=`` request param uses day-to-day):
+
+    * positive int ``n``   -> n required
+    * negative int ``-n``  -> all but n required
+    * ``"P%"``             -> floor(n_optional * P / 100) required
+    * ``"-P%"``            -> n_optional - floor(n_optional * P / 100)
+
+    Results are clamped to ``[0, n_optional]``; 0 means no constraint
+    (plain OR). Conditional specs (``"2<-25%"``) are not supported —
+    documented divergence, they're rare outside tuned search UIs."""
+    spec_s = str(spec).strip()
+    if spec_s.endswith("%"):
+        pct = int(spec_s[:-1])
+        calc = (abs(pct) * n_optional) // 100
+        required = calc if pct >= 0 else n_optional - calc
+    else:
+        val = int(spec_s)
+        required = val if val >= 0 else n_optional + val
+    return max(0, min(required, n_optional))
+
+
 def bm25_topk(
     index: InvertedIndex,
     query: str,
@@ -49,6 +73,7 @@ def bm25_topk(
     extra_filter=None,
     offset: int = 0,
     exclude: str | None = None,
+    min_match: "int | str | None" = None,
 ) -> DataFrame:
     """Top-k (doc keys, score) for an OR-semantics BM25 query.
 
@@ -72,7 +97,7 @@ def bm25_topk(
     )
     per_doc = score_or_docs(
         index, query, k1=k1, b=b, quantize=quantize,
-        extra_filter=extra_filter, exclude=exclude,
+        extra_filter=extra_filter, exclude=exclude, min_match=min_match,
     )
     if per_doc is None:
         return empty
@@ -104,13 +129,21 @@ def score_or_docs(
     extra_filter=None,
     exclude: str | None = None,
     raw_terms: Sequence[str] | None = None,
+    min_match: "int | str | None" = None,
 ) -> DataFrame | None:
     """The shared OR-semantics scoring stage: every matching doc with its
     full BM25 score (no top-k cut). None when the query matches nothing.
     ``bm25_topk`` adds TakeOrdered on top; ``bm25_grouped_topk`` adds the
     per-group window instead. ``raw_terms`` bypasses query analysis for
     callers whose terms are ALREADY analyzed (more-like-this feeds index
-    terms back in; re-analysis would double-stem them)."""
+    terms back in; re-analysis would double-stem them).
+
+    ``min_match``: Solr/edismax ``mm`` — a doc must satisfy at least
+    N of the query's optional clauses (duplicate tokens are separate
+    clauses, exactly Lucene BooleanQuery.setMinimumNumberShouldMatch
+    over one SHOULD TermQuery per token). The clause count rides the
+    same per-doc fold (sum of matched-term multiplicities), so mm adds
+    zero extra shuffles."""
     spark = index.postings_flat.sparkSession
     terms = list(raw_terms) if raw_terms is not None else analyze_query(query, index.profile)
     if not terms or index.n_docs == 0:
@@ -124,21 +157,27 @@ def score_or_docs(
         ).select("term", "df").collect()
     }
     weights = [
-        (t, float(mult) * idf(dfs[t], index.n_docs))
+        (t, float(mult) * idf(dfs[t], index.n_docs), int(mult))
         for t, mult in counts.items()
         if t in dfs
     ]
     if not weights:
         return None
+    required = (
+        calculate_min_should_match(min_match, len(terms))
+        if min_match is not None
+        else 0
+    )
 
-    wdf = spark.createDataFrame(weights, "term string, w double")
+    wdf = spark.createDataFrame(weights, "term string, w double, mult int")
     dl_col = "dl_quant" if quantize else "dl"
     avgdl = index.avgdl
 
-    cand = index.postings_flat.filter(F.col("term").isin([t for t, _ in weights]))
+    cand = index.postings_flat.filter(F.col("term").isin([w[0] for w in weights]))
     scored = cand.join(F.broadcast(wdf), "term").select(
         "doc_id",
         "term",
+        "mult",
         (
             F.col("w")
             * F.col("tf")
@@ -156,8 +195,12 @@ def score_or_docs(
             F.array_sort(F.collect_list(F.struct("term", "s"))),
             F.lit(0.0),
             lambda acc, x: acc + x["s"],
-        ).alias("score")
+        ).alias("score"),
+        F.sum("mult").alias("_nclauses"),
     )
+    if required > 0:
+        per_doc = per_doc.filter(F.col("_nclauses") >= required)
+    per_doc = per_doc.drop("_nclauses")
 
     if extra_filter is not None:
         allowed = index.doc_stats.filter(extra_filter).select("doc_id")
@@ -595,6 +638,44 @@ def bm25_grouped_topk(
         heads.select(group_col, "doc_id", "score")
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
+    )
+
+
+def json_facet_stats(
+    index: InvertedIndex,
+    query: str,
+    fields: DataFrame,
+    field: str,
+    aggs: "Sequence[tuple[str, object]]",
+    limit: int = 10,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    quantize: bool = True,
+) -> DataFrame:
+    """Solr JSON Facet API terms facet with nested stats
+    (``json.facet={langs:{type:terms, field:lang, facet:{avg_len:
+    "avg(n_chars)"}}}``) over the QUERY's match set — buckets ordered by
+    count desc (Solr's default sort), each carrying its nested aggregate
+    values. ``fields`` is the stored-field table (doc_id + facet key +
+    stat inputs); ``aggs`` is a list of (output_name, fn) where fn maps
+    a column-name string to an aggregate Column (e.g.
+    ``("avg_len", lambda c: F.round(F.avg(c("n_chars")), 4))``).
+
+    Plan: match set (already reduced per-doc) -> doc_id join to stored
+    fields -> ONE partial+final hash aggregation on the facet key; the
+    nested stats ride the same agg, so nesting is free. Returns
+    (field, count, *agg names)."""
+    matched = score_or_docs(index, query, k1=k1, b=b, quantize=quantize)
+    agg_cols = [fn(F.col).alias(name) for name, fn in aggs]
+    if matched is None:
+        joined = fields.limit(0)  # schema-stable empty result
+    else:
+        joined = matched.select("doc_id").join(fields, "doc_id")
+    return (
+        joined.groupBy(field)
+        .agg(F.count("*").alias("count"), *agg_cols)
+        .orderBy(F.col("count").desc(), F.col(field).asc())
+        .limit(limit)
     )
 
 
