@@ -1147,6 +1147,33 @@ def q_json_facet_stats(spark, sf_dir):
     )
 
 
+TV_DOC_IDS = [3, 7, 11]
+ELEVATE_IDS = [5, 42]
+
+
+def q_term_vectors(spark, sf_dir):
+    """/tv TermVectorComponent: per-doc term vectors (tf) + corpus df for
+    the requested docs, served from the doc-major forward index."""
+    from solr_sematic_importer_spark.operators.mlt import term_vectors
+
+    idx = _doc_index(spark, sf_dir)
+    return term_vectors(idx, TV_DOC_IDS, with_stats=True)
+
+
+def q_elevated_query(spark, sf_dir):
+    """QueryElevationComponent: editorial docs pinned first in configured
+    order (forceElevation), organic ranking follows minus those docs."""
+    from solr_sematic_importer_spark.operators.function_query import (
+        elevated_topk,
+    )
+
+    idx = _doc_index(spark, sf_dir)
+    top = elevated_topk(idx, Q_OR, ELEVATE_IDS, k=10, quantize=False)
+    return top.select(
+        "doc_id", F.round("score", 4).alias("score"), "elevated", "rank"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tf_per_doc_term": q_tf,
@@ -1177,6 +1204,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rerank_query": q_rerank_query,
         "collapse_field": q_collapse_field,
         "json_facet_stats": q_json_facet_stats,
+        "term_vectors": q_term_vectors,
+        "elevated_query": q_elevated_query,
         "schemaless_infer": q_schemaless_infer,
         "terms_component": q_terms_component,
         "prefix_query": q_prefix_query,
@@ -1401,6 +1430,31 @@ r AS (
 )
 SELECT doc_id, {field}, round(raw, 4) AS score
 FROM r WHERE rn = 1 ORDER BY raw DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _elevated_oracle(terms: list[str], elevate_ids: list[int], k: int = 10) -> str:
+    """Pinned editorial head (rank = configured position, score = organic
+    score or 0) + organic tail at rank len(elev)+row_number — exactly the
+    engine's rank contract."""
+    n = len(elevate_ids)
+    vals = ", ".join(f"({d}, {i})" for i, d in enumerate(elevate_ids))
+    return f"""
+WITH {_TF}{_DL},{_scores_cte('m', terms)},
+elev AS (SELECT * FROM (VALUES {vals}) AS t(doc_id, pos)),
+pinned AS (
+    SELECT e.doc_id, round(coalesce(ms.raw, 0), 4) AS score,
+           TRUE AS elevated, e.pos::BIGINT AS rank
+    FROM elev e LEFT JOIN ms USING (doc_id)
+),
+organic AS (
+    SELECT doc_id, round(raw, 4) AS score, FALSE AS elevated,
+           ({n} + row_number() OVER (ORDER BY raw DESC, doc_id ASC))::BIGINT AS rank
+    FROM ms WHERE doc_id NOT IN (SELECT doc_id FROM elev)
+)
+SELECT doc_id, score, elevated, rank
+FROM (SELECT * FROM pinned UNION ALL SELECT * FROM organic)
+ORDER BY rank LIMIT {k}
 """
 
 
@@ -1774,6 +1828,13 @@ FROM scores ORDER BY raw_score DESC, doc_id ASC LIMIT 10""",
         ),
         "collapse_field": _collapse_oracle(Q_OR.split(), "source"),
         "json_facet_stats": _json_facet_oracle(Q_OR.split(), "lang"),
+        "term_vectors": f"""
+WITH {_TF},
+dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)
+SELECT tf.doc_id, tf.term, tf.tf, dft.df
+FROM tf JOIN dft USING (term)
+WHERE tf.doc_id IN ({", ".join(str(d) for d in TV_DOC_IDS)})""",
+        "elevated_query": _elevated_oracle(Q_OR.split(), ELEVATE_IDS),
         "schemaless_infer": """
 WITH fx AS (
     SELECT CAST(o_orderkey AS VARCHAR) AS okey,

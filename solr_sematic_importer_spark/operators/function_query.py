@@ -206,3 +206,72 @@ def bm25_collapse_topk(
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+# --------------------------------------------------------------------------
+# query elevation (QueryElevationComponent)
+# --------------------------------------------------------------------------
+
+def elevated_topk(
+    index: InvertedIndex,
+    query: str,
+    elevate_ids: "list[int]",
+    k: int = 10,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    quantize: bool = True,
+) -> DataFrame:
+    """Solr QueryElevationComponent (``enableElevation=true`` +
+    elevate.xml): the configured doc ids are pinned to the top of the
+    result in their configured order (even when the query doesn't match
+    them — ``forceElevation`` semantics); the organic ranking follows,
+    minus the elevated docs. Scores are NOT rewritten — Solr reports the
+    editorial docs with their real (possibly null -> 0) scores and an
+    ``[elevated]`` marker, which we surface as a boolean column.
+
+    Plan: the elevated set is request-sized (broadcast); organic ranking
+    is the usual TakeOrdered; the pinned head is a driver-side constant
+    prefix. Returns (doc_id, score, elevated) in final display order via
+    the ``rank`` column contract of orderBy(rank)."""
+    from pyspark.sql.window import Window
+
+    spark = index.postings_flat.sparkSession
+    per_doc = score_or_docs(index, query, k1=k1, b=b, quantize=quantize)
+    elev_rows = [(int(d), i) for i, d in enumerate(elevate_ids)]
+    elev = spark.createDataFrame(elev_rows or [], "doc_id long, pos int")
+    if per_doc is None:
+        per_doc = spark.createDataFrame([], "doc_id long, score double")
+    scored_elev = (
+        F.broadcast(elev)
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("score"), F.lit(0.0)).alias("score"),
+            F.lit(True).alias("elevated"),
+            F.col("pos").cast("long").alias("rank"),
+        )
+    )
+    organic = (
+        per_doc.join(F.broadcast(elev.select("doc_id")), "doc_id", "left_anti")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select(
+            "doc_id",
+            "score",
+            F.lit(False).alias("elevated"),
+            (
+                F.lit(len(elevate_ids))
+                # row_number over a global window: input is already the
+                # limit(k) head, so the single-partition sort is k rows
+                + F.row_number().over(
+                    Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                )
+            ).cast("long").alias("rank"),
+        )
+    )
+    return (
+        scored_elev.unionByName(organic)
+        .orderBy("rank")
+        .limit(k)
+        .select("doc_id", "score", "elevated", "rank")
+    )

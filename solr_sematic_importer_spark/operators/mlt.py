@@ -113,3 +113,37 @@ def more_like_this(
         .limit(k)
         .select("doc_id", "score")
     )
+
+
+def term_vectors(
+    index: InvertedIndex,
+    doc_ids: "list[int]",
+    with_stats: bool = True,
+) -> DataFrame:
+    """Solr TermVectorComponent (``/tv``, ``tv.tf=true&tv.df=true``):
+    per-document term vectors for the requested docs — (doc_id, term,
+    tf) plus corpus df when ``with_stats``. Served from the doc-major
+    ``doc_vectors`` forward index when present (doc_id-pruned point
+    read), else from postings (full-index fallback, sandbox-only).
+
+    Plan: pruned forward-index scan -> arrays_zip explode (JVM-side) ->
+    broadcast-sized df join only for the requested docs' vocab."""
+    if index.doc_vectors is not None:
+        rows = index.doc_vectors.filter(F.col("doc_id").isin(doc_ids))
+        flat = rows.select(
+            "doc_id",
+            F.explode(F.arrays_zip("terms", "tfs")).alias("p"),
+        ).select(
+            "doc_id",
+            F.col("p.terms").alias("term"),
+            F.col("p.tfs").cast("long").alias("tf"),
+        )
+    else:
+        flat = index.postings_flat.filter(
+            F.col("doc_id").isin(doc_ids)
+        ).select("doc_id", "term", "tf")
+    if not with_stats:
+        return flat
+    return flat.join(
+        index.term_stats.select("term", "df"), "term"
+    ).select("doc_id", "term", "tf", "df")

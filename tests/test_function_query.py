@@ -212,3 +212,49 @@ def test_json_facet_nested_stats(idx, fields):
     # Solr default bucket order: count desc
     counts = [r["count"] for r in got]
     assert counts == sorted(counts, reverse=True)
+
+
+# ---------------------------------------------------------------- elevation
+
+def test_elevation_pins_configured_order(idx):
+    from solr_sematic_importer_spark.operators.function_query import elevated_topk
+
+    base = {r["doc_id"]: r["score"] for r in score_or_docs(idx, Q).collect()}
+    ranked = sorted(base.items(), key=lambda x: (-x[1], x[0]))
+    organic_ids = [d for d, _ in ranked]
+    # elevate: one organic non-head doc + one doc the query doesn't match
+    nonmatch = max(base) + 1  # doc ids are dense; this may match nothing
+    pick = organic_ids[min(5, len(organic_ids) - 1)]
+    got = elevated_topk(idx, Q, [pick, nonmatch], k=8).collect()
+    assert [r["doc_id"] for r in got[:2]] == [pick, nonmatch]
+    assert got[0]["elevated"] and got[1]["elevated"]
+    assert got[0]["score"] == base[pick]
+    assert got[1]["score"] == base.get(nonmatch, 0.0)
+    tail = [r["doc_id"] for r in got[2:]]
+    assert tail == [d for d in organic_ids if d != pick][: len(tail)]
+    assert all(not r["elevated"] for r in got[2:])
+
+
+# ---------------------------------------------------------------- term vectors
+
+def test_term_vectors_match_postings(idx):
+    from solr_sematic_importer_spark.operators.mlt import term_vectors
+
+    ids = [2, 9]
+    got = {
+        (r["doc_id"], r["term"]): (r["tf"], r["df"])
+        for r in term_vectors(idx, ids).collect()
+    }
+    want_tf = {
+        (r["doc_id"], r["term"]): r["tf"]
+        for r in idx.postings_flat.filter(F.col("doc_id").isin(ids)).collect()
+    }
+    dfs = {
+        r["term"]: r["df"]
+        for r in idx.term_stats.filter(
+            F.col("term").isin([t for _, t in want_tf])
+        ).collect()
+    }
+    assert set(got) == set(want_tf)
+    for key, (tf, df) in got.items():
+        assert tf == want_tf[key] and df == dfs[key[1]]
