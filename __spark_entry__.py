@@ -1160,6 +1160,20 @@ def q_term_vectors(spark, sf_dir):
     return term_vectors(idx, TV_DOC_IDS, with_stats=True)
 
 
+def q_debug_explain(spark, sf_dir):
+    """debugQuery=true: per-term Explanation leaves (tf, df, idf,
+    partial) for the query's top-5 docs; sum(partial) == score."""
+    from solr_sematic_importer_spark.operators.score import explain_topk
+
+    idx = _doc_index(spark, sf_dir)
+    ex = explain_topk(idx, Q_OR, k=5, quantize=False)
+    return ex.select(
+        "doc_id", "term", "tf", "df",
+        F.round("idf", 4).alias("idf"),
+        F.round("partial", 4).alias("partial"),
+    )
+
+
 def q_elevated_query(spark, sf_dir):
     """QueryElevationComponent: editorial docs pinned first in configured
     order (forceElevation), organic ranking follows minus those docs."""
@@ -1206,6 +1220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_facet_stats": q_json_facet_stats,
         "term_vectors": q_term_vectors,
         "elevated_query": q_elevated_query,
+        "debug_explain": q_debug_explain,
         "schemaless_infer": q_schemaless_infer,
         "terms_component": q_terms_component,
         "prefix_query": q_prefix_query,
@@ -1835,6 +1850,26 @@ SELECT tf.doc_id, tf.term, tf.tf, dft.df
 FROM tf JOIN dft USING (term)
 WHERE tf.doc_id IN ({", ".join(str(d) for d in TV_DOC_IDS)})""",
         "elevated_query": _elevated_oracle(Q_OR.split(), ELEVATE_IDS),
+        "debug_explain": f"""
+WITH {_TF}{_DL},
+qt AS (SELECT unnest([{", ".join(f"'{t}'" for t in Q_OR.split())}]) AS term),
+dft AS (
+    SELECT term, count(*)::BIGINT AS df FROM tf
+    WHERE term IN (SELECT term FROM qt) GROUP BY term
+),
+partials AS (
+    SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+           ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5)) AS idf,
+           ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+             * tf.tf / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+                        + {BM25_B} * dl.dl / s.avgdl)) AS partial
+    FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+),
+scores AS (SELECT doc_id, sum(partial) AS raw FROM partials GROUP BY doc_id),
+top AS (SELECT doc_id FROM scores ORDER BY raw DESC, doc_id ASC LIMIT 5)
+SELECT p.doc_id, p.term, p.tf, p.df,
+       round(p.idf, 4) AS idf, round(p.partial, 4) AS partial
+FROM partials p JOIN top USING (doc_id)""",
         "schemaless_infer": """
 WITH fx AS (
     SELECT CAST(o_orderkey AS VARCHAR) AS okey,

@@ -641,6 +641,74 @@ def bm25_grouped_topk(
     )
 
 
+def explain_topk(
+    index: InvertedIndex,
+    query: str,
+    k: int = 10,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    quantize: bool = True,
+) -> DataFrame:
+    """Solr ``debugQuery=true`` explain: the per-term score breakdown for
+    the query's top-k docs — (doc_id, term, tf, df, idf, partial) where
+    ``sum(partial) over doc = score``. Mirrors Lucene's Explanation tree
+    flattened to one row per (doc, term) leaf.
+
+    Plan: the usual scoring stage keeps its per-(doc,term) partials
+    alive; the top-k doc set (TakeOrdered, request-sized) semi-joins the
+    partials, so explain costs one extra broadcast join over the already-
+    scored rows, not a rescore."""
+    spark = index.postings_flat.sparkSession
+    terms = analyze_query(query, index.profile)
+    empty = spark.createDataFrame(
+        [], "doc_id long, term string, tf long, df long, idf double, partial double"
+    )
+    if not terms or index.n_docs == 0:
+        return empty
+    counts = Counter(terms)
+    dfs = {
+        r["term"]: r["df"]
+        for r in index.term_stats.filter(F.col("term").isin(list(counts)))
+        .select("term", "df").collect()
+    }
+    weights = [
+        (t, float(dfs[t]), idf(dfs[t], index.n_docs),
+         float(mult) * idf(dfs[t], index.n_docs))
+        for t, mult in counts.items()
+        if t in dfs
+    ]
+    if not weights:
+        return empty
+    wdf = spark.createDataFrame(
+        weights, "term string, df double, idf double, w double"
+    )
+    dl_col = "dl_quant" if quantize else "dl"
+    partials = (
+        index.postings_flat.filter(F.col("term").isin([w[0] for w in weights]))
+        .join(F.broadcast(wdf), "term")
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            "idf",
+            (
+                F.col("w") * F.col("tf")
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col(dl_col) / F.lit(index.avgdl))
+                )
+            ).alias("partial"),
+        )
+    )
+    top = (
+        bm25_topk(index, query, k=k, k1=k1, b=b, quantize=quantize)
+        .select("doc_id")
+    )
+    return partials.join(F.broadcast(top), "doc_id", "left_semi")
+
+
 def json_facet_stats(
     index: InvertedIndex,
     query: str,

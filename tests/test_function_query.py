@@ -258,3 +258,20 @@ def test_term_vectors_match_postings(idx):
     assert set(got) == set(want_tf)
     for key, (tf, df) in got.items():
         assert tf == want_tf[key] and df == dfs[key[1]]
+
+
+# ---------------------------------------------------------------- explain
+
+def test_explain_partials_sum_to_score(idx):
+    from solr_sematic_importer_spark.operators.score import explain_topk
+
+    ex = explain_topk(idx, Q, k=5).collect()
+    base = {r["doc_id"]: r["score"] for r in score_or_docs(idx, Q).collect()}
+    from collections import defaultdict
+
+    sums = defaultdict(float)
+    for r in ex:
+        sums[r["doc_id"]] += r["partial"]
+    assert len(sums) == 5
+    for d, s in sums.items():
+        assert math.isclose(s, base[d], rel_tol=1e-9)
