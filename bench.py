@@ -171,6 +171,20 @@ def main() -> None:
                                    quantize=False).collect(),
     )
 
+    # --- round-3 query surfaces (same documents index, request-shaped) -----
+    from solr_sematic_importer_spark.operators.function_query import rerank_topk
+
+    timed(
+        "bm25_min_should_match",
+        lambda: bm25_topk(didx, "merge sort window", k=10, quantize=False,
+                          min_match=2).collect(),
+    )
+    timed(
+        "rerank_query",
+        lambda: rerank_topk(didx, "merge sort window", "dup", rerank_docs=30,
+                            rerank_weight=2.0, k=10, quantize=False).collect(),
+    )
+
     # --- dedup: minhash + LSH over documents -------------------------------
     def _dedup():
         sh = shingles(docs, n=3)

@@ -23,7 +23,7 @@ def disk_idx(spark, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("planidx"))
     build_and_write_index(
         synthetic_transcripts(spark, 40), path, profile="text_en",
-        bucket_bits=8, write_flat=True,
+        bucket_bits=8, write_flat=True, write_doc_vectors=True,
     )
     return read_index(spark, path)
 
@@ -108,3 +108,74 @@ def test_block_metadata_scan_skips_binary_columns(disk_idx):
     )
     assert_column_pruned(ub, "doc_bytes")
     assert_column_pruned(ub, "norm_bytes")
+
+
+def test_mm_adds_no_extra_exchange(disk_idx):
+    """mm clause counting rides the existing per-doc aggregation: the
+    plan has the same number of shuffle exchanges as plain OR."""
+    from solr_sematic_importer_spark.plans.explain import plan_string
+
+    plain = plan_string(bm25_topk(disk_idx, "you one word", k=5))
+    mm = plan_string(bm25_topk(disk_idx, "you one word", k=5, min_match=2))
+    assert plain.count("Exchange") == mm.count("Exchange")
+
+
+def test_boost_joins_after_reduction(spark, disk_idx):
+    """The boost-field join input is the reduced match set (one row per
+    doc), not postings: the plan joins doc_stats AFTER the score agg and
+    still plans top-k as TakeOrdered."""
+    from solr_sematic_importer_spark.operators.function_query import (
+        bm25_boosted_topk,
+        recip,
+    )
+
+    fields = disk_idx.doc_stats.select("doc_id", "dl")
+    q = bm25_boosted_topk(
+        disk_idx, "you one word", fields, recip(F.col("dl"), 0.05, 1, 1), k=5
+    )
+    assert has_node(q, "TakeOrderedAndProject")
+
+
+def test_rerank_head_is_broadcast(disk_idx):
+    """The rerank combine joins the request-sized top-N head broadcast —
+    the rerank scan never shuffles against the full match set."""
+    from solr_sematic_importer_spark.operators.function_query import rerank_topk
+    from solr_sematic_importer_spark.plans.explain import plan_string
+
+    q = rerank_topk(disk_idx, "you one word", "word", rerank_docs=10, k=5)
+    plan = plan_string(q)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert has_node(q, "TakeOrderedAndProject")
+
+
+def test_collapse_single_window(disk_idx):
+    """Collapse = exactly one window function over the match set."""
+    from solr_sematic_importer_spark.operators.function_query import (
+        bm25_collapse_topk,
+    )
+    from solr_sematic_importer_spark.plans.explain import plan_string
+
+    fields = disk_idx.doc_stats.select(
+        "doc_id", (F.col("doc_id") % 5).alias("grp")
+    )
+    q = bm25_collapse_topk(disk_idx, "you one word", fields, "grp", k=5)
+    import re
+
+    plan = plan_string(q)
+    # exactly one Window node (the detail header "(N) Window"); the
+    # WindowGroupLimit nodes around it are Spark's rank-limit pushdown —
+    # per-group truncation BEFORE the window shuffle, which is the plan
+    # we want
+    assert len(re.findall(r"\) Window\n", plan)) == 1
+    assert has_node(q, "TakeOrderedAndProject")
+
+
+def test_term_vectors_scan_prunes_on_doc_id(spark, disk_idx):
+    """/tv reads the doc-major forward index with the doc_id filter
+    pushed to the scan — never the term-ordered postings."""
+    from solr_sematic_importer_spark.operators.mlt import term_vectors
+
+    if disk_idx.doc_vectors is None:
+        pytest.skip("no doc_vectors on this fixture")
+    q = term_vectors(disk_idx, [1, 2], with_stats=False)
+    assert pushed_filters(q)
