@@ -42,9 +42,20 @@ def _sf_from_dir(sf_dir: str) -> float:
         return 0.1
 
 
+def _default_parallelism() -> int:
+    """min(16, logical cpus). The build's hot stages run a Python worker
+    per task NEXT TO its JVM thread, so local[N] schedules ~2N runnable
+    threads; on this sandbox local[16] beats local[32] in ABSOLUTE
+    build throughput in both measured rounds (28.2k vs 17.6k turns/s at
+    round-2 best; 8.7k vs 4.2k under round-3 host throttle — BASELINE.md
+    §5/§7). On a real cluster the same logic sizes executor cores so
+    task slots ~= hardware threads / 2. Override with SPARK_GRAFT_CPUS."""
+    return min(16, os.cpu_count() or 16)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or _default_parallelism()
     # shuffle/scratch on tmpfs: the sandbox block device is burst-throttled
     # (42-372 MB/s between runs) and would dominate the measurement
     if os.path.isdir("/dev/shm"):
