@@ -190,26 +190,67 @@ def record_deletes(spark: SparkSession, path: str, doc_ids: DataFrame) -> None:
     segmented index root. Doc ids are global across segments (offsets are
     contiguous), so one root-level deletion vector covers them all —
     Lucene's ``.liv`` live-docs file made explicit. ``compact`` physically
-    drops the docs and clears the vector."""
-    doc_ids.select("doc_id").distinct().coalesce(1).write.mode("append").parquet(
-        _deletes_path(path)
-    )
+    drops the docs and clears the vector. Each batch is stamped with its
+    commit time so snapshot reads (``read_segmented_index(as_of=...)``)
+    can exclude deletes that postdate the snapshot."""
+    doc_ids.select("doc_id").distinct().withColumn(
+        "deleted_ts", F.lit(float(time.time()))
+    ).coalesce(1).write.mode("append").parquet(_deletes_path(path))
 
 
-def read_deletes(spark: SparkSession, path: str) -> DataFrame | None:
+def read_deletes(
+    spark: SparkSession, path: str, as_of: float | None = None
+) -> DataFrame | None:
     try:
-        return spark.read.parquet(_deletes_path(path)).select("doc_id").distinct()
+        raw = spark.read.option("mergeSchema", "true").parquet(_deletes_path(path))
     except AnalysisException as e:
         if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
             return None
         raise
+    if as_of is not None:
+        if "deleted_ts" in raw.columns:
+            # pre-timestamp layouts have null deleted_ts -> treat as
+            # predating every snapshot (they did, by construction)
+            raw = raw.filter(
+                F.col("deleted_ts").isNull() | (F.col("deleted_ts") <= as_of)
+            )
+    return raw.select("doc_id").distinct()
 
 
-def read_segmented_index(spark: SparkSession, path: str) -> InvertedIndex:
-    """Union of all committed segments as one logical index."""
+def read_segmented_index(
+    spark: SparkSession,
+    path: str,
+    as_of: float | None = None,
+    upto_segment: str | None = None,
+) -> InvertedIndex:
+    """Union of committed segments as one logical index.
+
+    Snapshot reads (Iceberg-snapshot semantics on the append-only
+    manifest — each manifest row is a commit): ``as_of`` restricts to
+    segments committed at or before that unix timestamp AND deletes
+    recorded at or before it; ``upto_segment`` restricts to the manifest
+    prefix ending at the named segment key (inclusive, manifest order).
+    Because the manifest and the delete log are both append-only, every
+    historical state remains readable until a ``compact`` rewrites it —
+    exactly Iceberg time travel over snapshots until expiration."""
     man = read_manifest(spark, path)
     if not len(man):
         raise ValueError(f"no committed segments under {path}")
+    if as_of is not None:
+        man = man[man["created_ts"] <= as_of]
+        if not len(man):
+            raise ValueError(f"no segments committed at or before {as_of}")
+    if upto_segment is not None:
+        keys = list(man["segment_key"])
+        if upto_segment not in keys:
+            raise ValueError(
+                f"segment {upto_segment!r} not in manifest (have {keys})"
+            )
+        man = man.iloc[: keys.index(upto_segment) + 1]
+        if as_of is None:
+            # state just after that segment's commit: deletes recorded
+            # later are not part of this snapshot either
+            as_of = float(man["created_ts"].iloc[-1])
     _require_uniform_bucket_bits(man, "read_segmented_index")
     dirs = list(man["segment_dir"])
     doc_stats = spark.read.parquet(*[f"{d}/doc_stats" for d in dirs])
@@ -236,7 +277,7 @@ def read_segmented_index(spark: SparkSession, path: str) -> InvertedIndex:
         profile=profile,
         key_cols=tuple(["doc_id", *key_cols_df]),
         postings_blocks=blocks,
-        deletes=read_deletes(spark, path),
+        deletes=read_deletes(spark, path, as_of=as_of),
         bucket_bits=_require_uniform_bucket_bits(man, "read_segmented_index"),
         # each segment encoded impacts with its OWN avgdl; the MINIMUM over
         # segments makes WAND's ub_scale = avgdl_q/impacts_avgdl at least
@@ -482,3 +523,63 @@ def gc_segments(spark: SparkSession, path: str) -> list[str]:
                 shutil.rmtree(os.path.join(seg_root, name), ignore_errors=True)
                 removed.append(os.path.join(seg_root, name))
     return removed
+
+
+def get_by_key(
+    spark: SparkSession,
+    path: str,
+    keys: "list[tuple]",
+    key_cols=("conv_id", "turn_idx"),
+) -> DataFrame:
+    """Solr ``/get`` realtime get: fetch documents by natural (unique)
+    key across every committed segment, minus the deletion vector —
+    visible the moment ``append_segment`` commits its manifest row, with
+    no separate refresh/commit step (the manifest append IS the commit,
+    like Solr's update log making uncommitted docs fetchable).
+
+    ``keys`` is a request-sized list of key tuples; the lookup is an OR
+    of per-key conjunctions pushed into the doc_stats parquet scan — a
+    point read per segment file, never a full-index pass. Returns the
+    matching doc_stats rows (doc_id, key cols, dl, dl_quant)."""
+    man = read_manifest(spark, path)
+    if not len(man):
+        raise ValueError(f"no committed segments under {path}")
+    key_cols = list(key_cols)
+    doc_stats = spark.read.parquet(
+        *[f"{d}/doc_stats" for d in man["segment_dir"]]
+    )
+    pred = None
+    for kt in keys:
+        kt = kt if isinstance(kt, (tuple, list)) else (kt,)
+        conj = None
+        for c, v in zip(key_cols, kt):
+            term = F.col(c) == F.lit(v)
+            conj = term if conj is None else (conj & term)
+        pred = conj if pred is None else (pred | conj)
+    if pred is not None:
+        doc_stats = doc_stats.filter(pred)
+    deletes = read_deletes(spark, path)
+    if deletes is not None:
+        doc_stats = doc_stats.join(deletes, "doc_id", "left_anti")
+    return doc_stats
+
+
+def maybe_compact(
+    spark: SparkSession,
+    path: str,
+    max_segments: int = 8,
+    out_key: str = "compacted",
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+) -> "str | None":
+    """Tiered merge policy, reduced to its essence (Lucene
+    TieredMergePolicy's segment-count trigger): when the manifest holds
+    more than ``max_segments`` live segments, merge them all with
+    ``compact`` (applying deletes physically); otherwise do nothing.
+    Call after each ``append_segment`` for a self-maintaining index —
+    the amortized merge cost pattern of every LSM store. Returns the new
+    segment dir when a merge ran, else None."""
+    man = read_manifest(spark, path)
+    if len(man) <= max_segments:
+        return None
+    return compact(spark, path, out_key=out_key, k1=k1, b=b)

@@ -12,8 +12,10 @@ from solr_sematic_importer_spark.operators.score import bm25_topk
 from solr_sematic_importer_spark.operators.segments import (
     append_segment,
     compact,
+    get_by_key,
     read_manifest,
     read_segmented_index,
+    record_deletes,
 )
 from solr_sematic_importer_spark.sources.transcripts import synthetic_transcripts
 
@@ -141,3 +143,111 @@ def test_gc_removes_orphan_segment_dirs(spark, seg_path):
     assert gc_segments(spark, path) == []  # idempotent
     idx = read_segmented_index(spark, path)
     assert bm25_topk(idx, QUERIES[0], k=5).count() > 0
+
+
+@pytest.fixture(scope="module")
+def snap_path(spark, tmp_path_factory):
+    """Own index for the snapshot tests: the shared seg_path fixture is
+    COMPACTED by test_compact_preserves_results, which collapses its
+    manifest to a single row (history expiration) — snapshot reads need
+    the multi-segment history intact."""
+    path = str(tmp_path_factory.mktemp("snapidx"))
+    full = synthetic_transcripts(spark, 24).persist()
+    slices = [
+        full.filter(F.col("conv_id") < "conv_00000008"),
+        full.filter(
+            (F.col("conv_id") >= "conv_00000008") & (F.col("conv_id") < "conv_00000016")
+        ),
+        full.filter(F.col("conv_id") >= "conv_00000016"),
+    ]
+    results = [
+        append_segment(spark, path, f"seg{i}", s, bucket_bits=8)
+        for i, s in enumerate(slices)
+    ]
+    return path, full, slices, results
+
+
+def test_snapshot_read_upto_segment(spark, snap_path):
+    """Time travel: reading up to seg1 sees exactly the first two
+    segments' docs with the same scores the full index would have given
+    them at that point (stats are per-snapshot)."""
+    path, full, slices, results = snap_path
+    snap = read_segmented_index(spark, path, upto_segment="seg1")
+    assert snap.n_docs == results[0].n_docs + results[1].n_docs
+    assert snap.doc_stats.count() == snap.n_docs
+    # as_of at the seg0 commit time sees only seg0
+    man = read_manifest(spark, path)
+    t0 = float(man["created_ts"].iloc[0])
+    snap0 = read_segmented_index(spark, path, as_of=t0)
+    assert snap0.n_docs == results[0].n_docs
+
+
+def test_snapshot_excludes_later_deletes(spark, snap_path, tmp_path):
+    """A delete recorded after a snapshot's cut must not mask docs in
+    that snapshot, and must mask them in the current view."""
+    path, full, slices, results = snap_path
+    snap_before = read_segmented_index(spark, path, upto_segment="seg2")
+    victim = snap_before.doc_stats.select("doc_id").orderBy("doc_id").first()["doc_id"]
+    record_deletes(spark, path, spark.createDataFrame([(victim,)], "doc_id long"))
+    try:
+        now_view = read_segmented_index(spark, path)
+        assert now_view.deletes is not None
+        assert now_view.deletes.filter(F.col("doc_id") == victim).count() == 1
+        snap = read_segmented_index(spark, path, upto_segment="seg2")
+        assert (
+            snap.deletes is None
+            or snap.deletes.filter(F.col("doc_id") == victim).count() == 0
+        )
+    finally:
+        # leave the shared fixture clean for other tests
+        import shutil
+
+        shutil.rmtree(f"{path}/deletes", ignore_errors=True)
+
+
+def test_realtime_get_by_key(spark, seg_path):
+    path, full, slices, results = seg_path
+    rows = full.select("conv_id", "turn_idx").orderBy("conv_id", "turn_idx").take(3)
+    keys = [(r["conv_id"], r["turn_idx"]) for r in rows]
+    got = get_by_key(spark, path, keys).collect()
+    assert {(r["conv_id"], r["turn_idx"]) for r in got} == set(keys)
+    # delete one -> it disappears from /get, others stay
+    victim_doc = got[0]["doc_id"]
+    record_deletes(
+        spark, path, spark.createDataFrame([(victim_doc,)], "doc_id long")
+    )
+    try:
+        got2 = get_by_key(spark, path, keys).collect()
+        assert len(got2) == len(keys) - 1
+        assert victim_doc not in {r["doc_id"] for r in got2}
+    finally:
+        import shutil
+
+        shutil.rmtree(f"{path}/deletes", ignore_errors=True)
+
+
+def test_maybe_compact_triggers_on_segment_count(spark, tmp_path):
+    from solr_sematic_importer_spark.operators.segments import maybe_compact
+
+    path = str(tmp_path / "tiered")
+    full = synthetic_transcripts(spark, 12).persist()
+    bounds = ["conv_00000003", "conv_00000006", "conv_00000009"]
+    parts = [
+        full.filter(F.col("conv_id") < bounds[0]),
+        full.filter((F.col("conv_id") >= bounds[0]) & (F.col("conv_id") < bounds[1])),
+        full.filter((F.col("conv_id") >= bounds[1]) & (F.col("conv_id") < bounds[2])),
+        full.filter(F.col("conv_id") >= bounds[2]),
+    ]
+    for i, p in enumerate(parts[:3]):
+        append_segment(spark, path, f"s{i}", p, bucket_bits=8)
+        # under threshold: no merge
+        assert maybe_compact(spark, path, max_segments=3) is None
+    append_segment(spark, path, "s3", parts[3], bucket_bits=8)
+    out = maybe_compact(spark, path, max_segments=3)
+    assert out is not None
+    man = read_manifest(spark, path)
+    assert len(man) == 1 and int(man["n_docs"].iloc[0]) == full.count()
+    # merged index answers identically to a one-shot build
+    merged = read_segmented_index(spark, path)
+    assert merged.n_docs == full.count()
+    full.unpersist()
