@@ -278,7 +278,19 @@ def bm25_topk_wand(
     # bitset on the coordinator.)
     has_deletes = index.deletes is not None
     if has_deletes:
-        bb = index.bucket_bits if index.bucket_bits is not None else DEFAULT_BUCKET_BITS
+        # The bucket cut MUST use the width the blocks were built with:
+        # guessing DEFAULT_BUCKET_BITS on an index whose metadata predates
+        # the bucket_bits field but was built with a different width would
+        # join delete slices onto the WRONG bucket_ids and silently
+        # resurrect deleted docs in the results (ADVICE r3).
+        if index.bucket_bits is None:
+            raise ValueError(
+                "index has pending deletes but no bucket_bits metadata; "
+                "cannot bucket the deletion vector safely — rebuild the "
+                "index (or re-write index_meta with the build-time "
+                "bucket_bits) before querying with deletes"
+            )
+        bb = index.bucket_bits
         del_by_bucket = (
             index.deletes.select(
                 F.shiftright("doc_id", bb).alias("bucket_id"), "doc_id"

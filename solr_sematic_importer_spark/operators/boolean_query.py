@@ -114,7 +114,7 @@ class _Evaluator:
         weights = [(t, boost * idf(d, self.index.n_docs)) for t, d in sorted(dfs.items())]
         spark = self.index.postings_flat.sparkSession
         wdf = spark.createDataFrame(weights, "term string, w double")
-        cand = self.index.postings_flat.filter(F.col("term").isin([t for t, _ in weights]))
+        cand = self.index.flat_terms([t for t, _ in weights])
         scored = cand.join(F.broadcast(wdf), "term").select(
             "doc_id", "term", self._sat(F.col("tf"), 1.0).alias("part"),
             F.col("w"),
@@ -149,23 +149,35 @@ class _Evaluator:
         ).select("doc_id", self._sat(F.col("tfp"), w).alias("s"))
 
     def fuzzy_scores(self, word: str, distance: int, boost: float) -> DataFrame | None:
-        """FuzzyQuery as a SynonymQuery-style blend (see
-        ``score.bm25_fuzzy_topk``): df = max member df, per-doc tf summed
-        across members THEN saturated once."""
+        """FuzzyQuery under Lucene's blended-freq top-terms rewrite (see
+        ``score.bm25_fuzzy_topk``): capped expansion set, df blended to
+        the max over members (one shared idf), each member a SHOULD
+        TermQuery boosted by its edit-distance similarity."""
         from .score import fuzzy_expand_terms
 
         members = fuzzy_expand_terms(self.index, word, distance)
         if not members:
             return None
-        w = boost * idf(max(df for _, df in members), self.index.n_docs)
-        per_doc = (
-            self.index.postings_flat.filter(
-                F.col("term").isin(sorted(t for t, _ in members))
-            )
-            .groupBy("doc_id", self.dl_col)
-            .agg(F.sum("tf").alias("tf_sum"))
+        w = boost * idf(max(df for _, df, _ in members), self.index.n_docs)
+        spark = self.index.postings_flat.sparkSession
+        bdf = spark.createDataFrame(
+            [(t, bst) for t, _, bst in members], "term string, mboost double"
         )
-        return per_doc.select("doc_id", self._sat(F.col("tf_sum"), w).alias("s"))
+        scored = (
+            self.index.flat_terms([t for t, _, _ in members])
+            .join(F.broadcast(bdf), "term")
+            .select(
+                "doc_id", "term",
+                (F.col("mboost") * self._sat(F.col("tf"), w)).alias("s"),
+            )
+        )
+        return scored.groupBy("doc_id").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "s"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["s"],
+            ).alias("s")
+        )
 
     def wildcard_scores(self, pattern: str, boost: float) -> DataFrame | None:
         from .score import wildcard_to_regex
@@ -198,9 +210,7 @@ class _Evaluator:
 
     def _constant_docs(self, matching_terms: DataFrame, boost: float) -> DataFrame:
         docs = (
-            self.index.postings_flat.join(
-                F.broadcast(matching_terms), "term", "left_semi"
-            )
+            self.index.flat_terms_semi(matching_terms)
             .select("doc_id")
             .distinct()
         )

@@ -168,12 +168,53 @@ class InvertedIndex:
     # UNDERestimate — WAND scales its bounds by avgdl/impacts_avgdl to stay
     # a valid upper bound (see bm25_topk_wand).
     impacts_avgdl: float | None = None
+    # True when postings_flat is a lazy DECODE of postings_blocks (blocks-
+    # only persistence): a filter on the decoded view cannot be pushed
+    # through the Python decode stage, so term-restricted access must go
+    # through flat_terms()/flat_terms_semi(), which filter the BLOCKS scan
+    # (parquet min/max pruning on term) before decoding.
+    flat_from_blocks: bool = False
     _caches: list = field(default_factory=list, repr=False, compare=False)
 
     @property
     def avgdl(self) -> float:
         # Lucene: sumTotalTermFreq / docCount as double division of exact longs
         return self.sum_dl / self.n_docs if self.n_docs else 0.0
+
+    def _decoded_flat(self, blocks: DataFrame) -> DataFrame:
+        from .block_postings import decode_blocks_to_flat
+
+        return decode_blocks_to_flat(blocks).join(
+            self.doc_stats.select("doc_id", "dl"), "doc_id"
+        ).select("term", "doc_id", "tf", "dl", "dl_quant")
+
+    def flat_terms(self, terms: "Sequence[str]") -> DataFrame:
+        """``postings_flat`` restricted to ``terms`` — the J2 query-term
+        semi-join every scorer starts from. On a flat-backed index this is
+        the usual pushed ``In(term)`` scan filter; on a blocks-only index
+        the filter is applied to the BLOCKS scan before the Python decode
+        (which Catalyst cannot push a predicate through), so a query
+        decodes only its own terms' postings, never the index."""
+        terms = list(terms)
+        if not self.flat_from_blocks:
+            return self.postings_flat.filter(F.col("term").isin(terms))
+        return self._decoded_flat(
+            self.postings_blocks.filter(F.col("term").isin(terms))
+        )
+
+    def flat_terms_semi(self, matching: DataFrame) -> DataFrame:
+        """Like ``flat_terms`` but the term set is a (vocab-sliver)
+        DataFrame — multi-term expansions (prefix/wildcard) whose member
+        list lives in a broadcastable frame rather than a literal."""
+        if not self.flat_from_blocks:
+            return self.postings_flat.join(
+                F.broadcast(matching.select("term")), "term", "left_semi"
+            )
+        return self._decoded_flat(
+            self.postings_blocks.join(
+                F.broadcast(matching.select("term")), "term", "left_semi"
+            )
+        )
 
     def release(self) -> None:
         """Unpersist every DataFrame this index pinned. Callers that build
@@ -397,11 +438,28 @@ def build_and_write_index(
     return read_index(spark, path)
 
 
-def write_index(index: InvertedIndex, path: str) -> None:
+def write_index(
+    index: InvertedIndex, path: str, write_flat: "bool | None" = None
+) -> None:
     """Persist the index tables as parquet dirs (Iceberg tables when a
-    catalog is configured — same writer API via ``writeTo``)."""
+    catalog is configured — same writer API via ``writeTo``).
+
+    ``write_flat``: whether to also persist the flat postings table.
+    Default (None) writes it ONLY when the index has no block postings —
+    blocks are the canonical representation (Lucene segments store one
+    postings format, not two); persisting both costs 3-5x write/storage
+    amplification per segment at scale. ``read_index`` reconstructs a
+    flat view from blocks on read."""
+    if write_flat is None:
+        write_flat = index.postings_blocks is None
+    if not write_flat and index.postings_blocks is None:
+        raise ValueError(
+            "write_flat=False requires block postings (the index would "
+            "persist no postings at all); run build_block_postings first"
+        )
     index.doc_stats.write.mode("overwrite").parquet(f"{path}/doc_stats")
-    index.postings_flat.write.mode("overwrite").parquet(f"{path}/postings_flat")
+    if write_flat:
+        index.postings_flat.write.mode("overwrite").parquet(f"{path}/postings_flat")
     index.term_stats.write.mode("overwrite").parquet(f"{path}/term_stats")
     if index.deletes is not None:
         # durable deletion vector (Lucene .liv analog): reload must not
@@ -447,11 +505,14 @@ def read_index(spark: SparkSession, path: str) -> InvertedIndex:
         else:
             raise
     doc_stats = spark.read.parquet(f"{path}/doc_stats")
+    flat_from_blocks = False
     try:
         postings_flat = spark.read.parquet(f"{path}/postings_flat")
     except Exception:
         # blocks-only index: flat view = lazy decode of the canonical
-        # blocks, with exact dl re-joined from doc_stats
+        # blocks, with exact dl re-joined from doc_stats. Term-restricted
+        # access goes through flat_terms(), which filters the blocks scan
+        # BEFORE the decode.
         from .block_postings import decode_blocks_to_flat
 
         if blocks is None:
@@ -459,6 +520,7 @@ def read_index(spark: SparkSession, path: str) -> InvertedIndex:
         postings_flat = decode_blocks_to_flat(blocks).join(
             doc_stats.select("doc_id", "dl"), "doc_id"
         ).select("term", "doc_id", "tf", "dl", "dl_quant")
+        flat_from_blocks = True
     try:  # optional doc-major forward index (write_doc_vectors=True)
         doc_vectors = spark.read.parquet(f"{path}/doc_vectors")
     except Exception:
@@ -478,4 +540,5 @@ def read_index(spark: SparkSession, path: str) -> InvertedIndex:
             float(meta["impacts_avgdl"]) if "impacts_avgdl" in meta else None
         ),
         bucket_bits=int(meta["bucket_bits"]) if "bucket_bits" in meta else None,
+        flat_from_blocks=flat_from_blocks,
     )

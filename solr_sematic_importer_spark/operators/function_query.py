@@ -98,7 +98,14 @@ def bm25_boosted_topk(
     if per_doc is None:
         return spark.createDataFrame([], "doc_id long, score double")
     stats = fields.withColumn("_boost", boost.cast("double"))
-    joined = per_doc.join(stats.select("doc_id", "_boost"), "doc_id")
+    # LEFT join + identity default: Solr's boost/bf keeps a matching doc
+    # ranked when the stored field is missing or null (the function falls
+    # back to the field default) — an inner join would silently DROP it
+    # from the results (ADVICE r3). Identity: 1.0 for multiply, 0.0 for sum.
+    ident = 1.0 if mode == "multiply" else 0.0
+    joined = per_doc.join(
+        stats.select("doc_id", "_boost"), "doc_id", "left"
+    ).withColumn("_boost", F.coalesce(F.col("_boost"), F.lit(ident)))
     op = (F.col("score") * F.col("_boost")) if mode == "multiply" else (
         F.col("score") + F.col("_boost")
     )

@@ -40,19 +40,40 @@ def analyze_query(query: str, profile: str) -> list[str]:
 
 
 def calculate_min_should_match(spec: "int | str", n_optional: int) -> int:
-    """Solr's ``mm`` spec -> required optional-clause count
-    (SolrPluginUtils.calculateMinShouldMatch semantics, the subset the
-    edismax ``mm=`` request param uses day-to-day):
+    """Solr's ``mm`` spec -> required optional-clause count — the FULL
+    SolrPluginUtils.calculateMinShouldMatch grammar the edismax ``mm=``
+    request param accepts:
 
     * positive int ``n``   -> n required
     * negative int ``-n``  -> all but n required
     * ``"P%"``             -> floor(n_optional * P / 100) required
     * ``"-P%"``            -> n_optional - floor(n_optional * P / 100)
+    * conditional specs ``"N<spec"``, space-separated and evaluated in
+      the given order (Solr documents them ascending-N): with C optional
+      clauses, the FIRST pair whose N >= C stops the walk and yields the
+      result accumulated so far (ALL clauses required when the first
+      pair already stops it); each pair whose N < C re-evaluates its
+      sub-spec. E.g. ``"2<-25% 9<-3"``: C<=2 -> all required; 3..9 ->
+      all-but-25%; >9 -> all-but-3.
 
     Results are clamped to ``[0, n_optional]``; 0 means no constraint
-    (plain OR). Conditional specs (``"2<-25%"``) are not supported —
-    documented divergence, they're rare outside tuned search UIs."""
+    (plain OR)."""
+    import re as _re
+
     spec_s = str(spec).strip()
+    if "<" in spec_s:
+        # normalize optional whitespace around '<' exactly like Solr's
+        # spaceAroundLessThanPattern, then walk pairs in order
+        spec_s = _re.sub(r"\s*<\s*", "<", spec_s)
+        result = n_optional  # default: all optional clauses required
+        for part in spec_s.split():
+            upper_s, sep, sub = part.partition("<")
+            if not sep or not sub:
+                raise ValueError(f"invalid conditional mm spec segment {part!r}")
+            if n_optional <= int(upper_s):
+                break
+            result = calculate_min_should_match(sub, n_optional)
+        return max(0, min(result, n_optional))
     if spec_s.endswith("%"):
         pct = int(spec_s[:-1])
         calc = (abs(pct) * n_optional) // 100
@@ -173,7 +194,7 @@ def score_or_docs(
     dl_col = "dl_quant" if quantize else "dl"
     avgdl = index.avgdl
 
-    cand = index.postings_flat.filter(F.col("term").isin([w[0] for w in weights]))
+    cand = index.flat_terms([w[0] for w in weights])
     scored = cand.join(F.broadcast(wdf), "term").select(
         "doc_id",
         "term",
@@ -209,9 +230,7 @@ def score_or_docs(
     if exclude:
         neg_terms = analyze_query(exclude, index.profile)
         if neg_terms:
-            banned = index.postings_flat.filter(
-                F.col("term").isin(neg_terms)
-            ).select("doc_id")
+            banned = index.flat_terms(neg_terms).select("doc_id")
             per_doc = per_doc.join(banned, "doc_id", "left_anti")
 
     if index.deletes is not None:
@@ -277,9 +296,7 @@ def bm25_topk_synonyms(
     dl_col = "dl_quant" if quantize else "dl"
     avgdl = index.avgdl
 
-    cand = index.postings_flat.filter(
-        F.col("term").isin(sorted({m for m, _ in group_rows}))
-    )
+    cand = index.flat_terms(sorted({m for m, _ in group_rows}))
     # per (doc, group): tf summed across members, THEN the BM25 saturation
     per_group = (
         cand.join(F.broadcast(gdf), "term")
@@ -377,26 +394,50 @@ def spellcheck_terms(
 
 
 def fuzzy_expand_terms(
-    index: InvertedIndex, word: str, distance: int = 2
-) -> list[tuple[str, int]]:
+    index: InvertedIndex,
+    word: str,
+    distance: int = 2,
+    max_expansions: int = 50,
+) -> list[tuple[str, int, float]]:
     """Lucene FuzzyQuery term expansion: vocabulary terms within
     ``distance`` Levenshtein edits of the (lowercased) input — the same
     length-window pre-filter as ``spellcheck_terms`` so the JVM
-    ``levenshtein`` runs on a sliver of the dictionary. Returns
-    [(term, df)]. No maxExpansions cap (documented divergence: Lucene
-    keeps the 50 highest-df expansions; our expansion sets at sane
-    distances are far below that)."""
+    ``levenshtein`` runs on a sliver of the dictionary.
+
+    Each member carries Lucene FuzzyTermsEnum's edit-distance similarity
+    boost ``1 - d / min(len(member), len(target))`` (an exact match
+    boosts 1.0; a maximally-edited short term can boost to 0), and the
+    expansion set is capped at ``max_expansions`` (Lucene's default 50)
+    keeping the best members by (boost desc, df desc, term asc) —
+    Lucene's TopTermsBlendedFreqScoringRewrite queue ranks by boost; we
+    break boost ties by docfreq (highest-df members are the ones a
+    blended rewrite wants statistics from) rather than term order, a
+    documented divergence. Classic Levenshtein, not Damerau (Lucene
+    defaults transpositions=true) — documented divergence shared with
+    the SQL oracle. Returns [(term, df, boost)]."""
     target = word.lower()
     n = len(target)
     cand = index.term_stats.filter(
         (F.length("term") >= n - distance) & (F.length("term") <= n + distance)
     )
     rows = (
-        cand.filter(F.levenshtein(F.col("term"), F.lit(target)) <= distance)
-        .select("term", "df")
+        cand.select(
+            "term", "df",
+            F.levenshtein(F.col("term"), F.lit(target)).alias("d"),
+        )
+        .filter(F.col("d") <= distance)
         .collect()
     )
-    return [(r["term"], int(r["df"])) for r in rows]
+    members = [
+        (
+            r["term"],
+            int(r["df"]),
+            1.0 - int(r["d"]) / min(len(r["term"]), n),
+        )
+        for r in rows
+    ]
+    members.sort(key=lambda m: (-m[2], -m[1], m[0]))
+    return members[:max_expansions]
 
 
 def bm25_fuzzy_topk(
@@ -407,38 +448,50 @@ def bm25_fuzzy_topk(
     k1: float = K1_DEFAULT,
     b: float = B_DEFAULT,
     quantize: bool = True,
+    max_expansions: int = 50,
 ) -> DataFrame:
-    """FuzzyQuery (``term~N``) scored as a SynonymQuery-style blend over
-    the expanded vocab slice: one pseudo-term with df = max member df and
-    per-doc tf = sum of member tfs (Lucene's blended-freq rewrite in
-    spirit; Lucene additionally boosts members by edit-distance
-    similarity — documented divergence). Returns (doc_id, score)."""
+    """FuzzyQuery (``term~N``) under Lucene's blended-freq top-terms
+    rewrite: the capped expansion set becomes SHOULD TermQueries whose
+    docfreq is BLENDED to the max over members (one shared idf), each
+    boosted by its edit-distance similarity —
+    ``score(doc) = Σ_members boost_m * idf(df_max) * sat(tf_m)``.
+    Returns (doc_id, score)."""
     spark = index.postings_flat.sparkSession
     out_schema = "doc_id long, score double"
-    members = fuzzy_expand_terms(index, word, distance)
+    members = fuzzy_expand_terms(index, word, distance, max_expansions)
     if not members or index.n_docs == 0:
         return spark.createDataFrame([], out_schema)
-    w = idf(max(df for _, df in members), index.n_docs)
+    w = idf(max(df for _, df, _ in members), index.n_docs)
+    bdf = spark.createDataFrame(
+        [(t, bst) for t, _, bst in members], "term string, boost double"
+    )
     dl_col = "dl_quant" if quantize else "dl"
     avgdl = index.avgdl
-    per_doc = (
-        index.postings_flat.filter(
-            F.col("term").isin(sorted(t for t, _ in members))
-        )
-        .groupBy("doc_id", dl_col)
-        .agg(F.sum("tf").alias("tf_sum"))
+    scored = (
+        index.flat_terms([t for t, _, _ in members])
+        .join(F.broadcast(bdf), "term")
         .select(
             "doc_id",
+            "term",
             (
-                F.lit(w)
-                * F.col("tf_sum")
+                F.col("boost")
+                * F.lit(w)
+                * F.col("tf")
                 / (
-                    F.col("tf_sum")
+                    F.col("tf")
                     + F.lit(k1)
                     * (F.lit(1.0 - b) + F.lit(b) * F.col(dl_col) / F.lit(avgdl))
                 )
-            ).alias("score"),
+            ).alias("s"),
         )
+    )
+    # deterministic per-doc sum: term-sorted fold (same as score_or_docs)
+    per_doc = scored.groupBy("doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "s"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["s"],
+        ).alias("score")
     )
     if index.deletes is not None:
         per_doc = per_doc.join(index.deletes.select("doc_id"), "doc_id", "left_anti")
@@ -481,7 +534,7 @@ def wildcard_query_topk(
     rx = wildcard_to_regex(pattern.lower())
     matching = index.term_stats.filter(F.col("term").rlike(rx)).select("term")
     docs = (
-        index.postings_flat.join(F.broadcast(matching), "term", "left_semi")
+        index.flat_terms_semi(matching)
         .select("doc_id")
         .distinct()
     )
@@ -587,7 +640,7 @@ def prefix_query_topk(
         return spark.createDataFrame([], "doc_id long, score double")
     matching = index.term_stats.filter(F.col("term").startswith(prefix)).select("term")
     docs = (
-        index.postings_flat.join(F.broadcast(matching), "term", "left_semi")
+        index.flat_terms_semi(matching)
         .select("doc_id")
         .distinct()
     )
@@ -684,7 +737,7 @@ def explain_topk(
     )
     dl_col = "dl_quant" if quantize else "dl"
     partials = (
-        index.postings_flat.filter(F.col("term").isin([w[0] for w in weights]))
+        index.flat_terms([w[0] for w in weights])
         .join(F.broadcast(wdf), "term")
         .select(
             "doc_id",
@@ -773,7 +826,7 @@ def bm25_conjunction_topk(
     )
     dl_col = "dl_quant" if quantize else "dl"
     scored = (
-        index.postings_flat.filter(F.col("term").isin(terms))
+        index.flat_terms(terms)
         .join(F.broadcast(wdf), "term")
         .select(
             "doc_id",

@@ -59,7 +59,16 @@ MANIFEST_SCHEMA = (
     # the stored n_docs/sum_dl are post-delete while the passthrough
     # impacts keep their encode-time avgdl — WAND needs the encode value
     # to keep its bounds valid (see bm25_topk_wand's ub_scale).
-    "impacts_avgdl double"
+    "impacts_avgdl double, "
+    # EXCLUSIVE upper bound of the doc-id range this segment row owns.
+    # For a fresh append this is offset + n_docs; for a compacted row it
+    # is the max over its SOURCE segments — compact applies deletes (so
+    # n_docs shrinks) while the surviving docs KEEP their original ids,
+    # so sum(n_docs) undercounts the exhausted id space and a later
+    # append would reuse live ids (silent corruption: joins merge
+    # distinct docs, deletes hit both). The watermark records the
+    # exhausted range explicitly.
+    "next_doc_id long"
 )
 
 
@@ -70,7 +79,10 @@ def _manifest_path(path: str) -> str:
 def read_manifest(spark: SparkSession, path: str) -> pd.DataFrame:
     try:
         return (
-            spark.read.parquet(_manifest_path(path))
+            # mergeSchema: manifests written before next_doc_id existed
+            # union cleanly with rows that carry it (nulls backfilled)
+            spark.read.option("mergeSchema", "true")
+            .parquet(_manifest_path(path))
             .orderBy("doc_id_offset")
             .toPandas()
         )
@@ -97,6 +109,21 @@ def _require_uniform_bucket_bits(man: pd.DataFrame, op: str) -> int:
             f"{sorted(int(v) for v in vals)}; rebuild or compact per width"
         )
     return int(vals[0])
+
+
+def _doc_id_watermark(man: pd.DataFrame) -> int:
+    """First doc id NOT yet owned by any manifest row: max of the
+    recorded ``next_doc_id`` watermarks, falling back per-row to
+    ``doc_id_offset + n_docs`` for manifests written before the column
+    existed (exact for fresh appends; legacy compacted rows predate the
+    bug fix and keep their recorded extent)."""
+    if not len(man):
+        return 0
+    derived = man["doc_id_offset"].astype("int64") + man["n_docs"].astype("int64")
+    if "next_doc_id" in man.columns:
+        w = man["next_doc_id"].astype("float64").fillna(derived.astype("float64"))
+        return int(w.max())
+    return int(derived.max())
 
 
 def _enc_avgdls(man: pd.DataFrame) -> pd.Series:
@@ -146,7 +173,10 @@ def append_segment(
         row = man[man["segment_key"] == segment_key].iloc[0]
         return AppendResult(segment_key, True, int(row["n_docs"]), int(row["doc_id_offset"]))
 
-    offset = int((man["n_docs"].sum()) if len(man) else 0)
+    # watermark, NOT sum(n_docs): after a compact applied deletes the
+    # post-delete counts undercount the exhausted id range (see
+    # MANIFEST_SCHEMA next_doc_id)
+    offset = _doc_id_watermark(man)
     seg_dir = f"{path}/segments/{segment_key}"
     t0 = time.perf_counter()
 
@@ -156,10 +186,14 @@ def append_segment(
     )
     build_block_postings(idx, bucket_bits=bucket_bits, k1=k1, b=b)
 
-    # segment data first (write-ahead), manifest row second
+    # segment data first (write-ahead), manifest row second. Blocks are
+    # the canonical postings representation — the per-segment flat table
+    # would duplicate them 3-5x in storage/write volume at scale (Lucene
+    # segments store ONE postings format); read_segmented_index
+    # reconstructs a flat view from blocks on demand.
     from .build import write_index
 
-    write_index(idx, seg_dir)
+    write_index(idx, seg_dir, write_flat=False)
     wall = time.perf_counter() - t0
     checksum = _content_checksum(df, list(key_cols), text_col)
     n_terms = idx.term_stats.count()
@@ -169,7 +203,7 @@ def append_segment(
             int(n_terms), float(wall),
             float(idx.n_docs / wall if wall else 0.0),
             checksum, profile, int(bucket_bits), time.time(),
-            float(idx.avgdl),
+            float(idx.avgdl), offset + idx.n_docs,
         )
     ]
     spark.createDataFrame(row, MANIFEST_SCHEMA).coalesce(1).write.mode(
@@ -254,12 +288,26 @@ def read_segmented_index(
     _require_uniform_bucket_bits(man, "read_segmented_index")
     dirs = list(man["segment_dir"])
     doc_stats = spark.read.parquet(*[f"{d}/doc_stats" for d in dirs])
-    postings_flat = spark.read.parquet(*[f"{d}/postings_flat" for d in dirs])
     blocks = None
     try:
         blocks = spark.read.parquet(*[f"{d}/postings_blocks" for d in dirs])
     except Exception:
         pass
+    flat_from_blocks = False
+    try:
+        # legacy segments that persisted a flat table (pre blocks-only)
+        postings_flat = spark.read.parquet(*[f"{d}/postings_flat" for d in dirs])
+    except AnalysisException:
+        # blocks-only segments (the default): flat view = lazy decode of
+        # the canonical blocks, exact dl re-joined from doc_stats
+        from .block_postings import decode_blocks_to_flat
+
+        if blocks is None:
+            raise
+        postings_flat = decode_blocks_to_flat(blocks).join(
+            doc_stats.select("doc_id", "dl"), "doc_id"
+        ).select("term", "doc_id", "tf", "dl", "dl_quant")
+        flat_from_blocks = True
     term_stats = (
         spark.read.parquet(*[f"{d}/term_stats" for d in dirs])
         .groupBy("term")
@@ -283,13 +331,14 @@ def read_segmented_index(
         # segments makes WAND's ub_scale = avgdl_q/impacts_avgdl at least
         # as large as any single segment requires (conservative, valid)
         impacts_avgdl=float(_enc_avgdls(man).min()),
+        flat_from_blocks=flat_from_blocks,
     )
 
 
 def compact(
     spark: SparkSession,
     path: str,
-    out_key: str = "compacted",
+    out_key: str | None = None,
     k1: float = K1_DEFAULT,
     b: float = B_DEFAULT,
 ) -> str:
@@ -312,6 +361,24 @@ def compact(
     man = read_manifest(spark, path)
     if len(man) < 1:
         raise ValueError("nothing to compact")
+    # The output key MUST be new: reusing a live key (e.g. a second
+    # compaction cycle writing 'compacted' again) makes Spark read
+    # segments/<key>/postings_blocks while mode('overwrite') writes the
+    # same path — 'Cannot overwrite a path that is also being read from',
+    # or corruption if the lineage check is bypassed. Auto-generate a
+    # fresh counter-suffixed key; fail fast on an explicit collision.
+    existing = set(man["segment_key"])
+    if out_key is None:
+        n = 0
+        while f"compacted_{n:04d}" in existing:
+            n += 1
+        out_key = f"compacted_{n:04d}"
+    elif out_key in existing:
+        raise ValueError(
+            f"compact out_key {out_key!r} is already a live segment; "
+            "pick a fresh key (reading and overwriting the same path "
+            "corrupts the index)"
+        )
     bucket_bits = _require_uniform_bucket_bits(man, "compact")
     dirs = list(man["segment_dir"])
     deletes = read_deletes(spark, path)
@@ -409,14 +476,15 @@ def compact(
         # broadcast comfort at scale — let AQE pick the join strategy
         return df.join(deletes, "doc_id", "left_anti")
 
-    # relational tables: unions minus the deletion vector
+    # relational tables: unions minus the deletion vector. NO flat-postings
+    # rewrite: blocks are canonical, and rewriting the full flat union made
+    # the merge O(index size) instead of O(overlap) — 3-5x write
+    # amplification per merge at scale (read_segmented_index reconstructs
+    # the flat view from blocks).
     _minus_deleted(
         spark.read.parquet(*[f"{d}/doc_stats" for d in dirs])
     ).write.mode("overwrite").parquet(f"{out_dir}/doc_stats")
     doc_stats_r = spark.read.parquet(f"{out_dir}/doc_stats")
-    _minus_deleted(
-        spark.read.parquet(*[f"{d}/postings_flat" for d in dirs])
-    ).write.mode("overwrite").parquet(f"{out_dir}/postings_flat")
     # term stats: from the merged block METADATA — post-delete df/ttf with
     # no extra pass over postings (same derivation as build_and_write_index)
     (
@@ -444,13 +512,16 @@ def compact(
 
     # new manifest: single compacted row. The checksum stays the XOR of the
     # source-segment input checksums — lineage/provenance of what was
-    # ingested, not of the post-delete state.
+    # ingested, not of the post-delete state. next_doc_id carries the
+    # SOURCE watermark forward: surviving docs keep their original ids, so
+    # the whole pre-delete range stays exhausted and the next append must
+    # start past it (ADVICE r3 high: sum(n_docs) would hand out live ids).
     row = [
         (
             out_key, out_dir, n_docs, 0, sum_dl, -1,
             0.0, 0.0, int(np.bitwise_xor.reduce(man["checksum"].to_numpy(dtype=np.int64))),
             str(man["profile"].iloc[0]), bucket_bits,
-            time.time(), impacts_avgdl,
+            time.time(), impacts_avgdl, _doc_id_watermark(man),
         )
     ]
     spark.createDataFrame(row, MANIFEST_SCHEMA).coalesce(1).write.mode(
@@ -568,7 +639,7 @@ def maybe_compact(
     spark: SparkSession,
     path: str,
     max_segments: int = 8,
-    out_key: str = "compacted",
+    out_key: str | None = None,
     k1: float = K1_DEFAULT,
     b: float = B_DEFAULT,
 ) -> "str | None":

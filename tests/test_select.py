@@ -1,0 +1,184 @@
+"""One-call /select front door: combined requests must equal the
+composition of the standalone operators (solrconfig.xml:650-680 — the
+delegated handler's parameter surface as one executor)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from solr_sematic_importer_spark.operators.build import build_index
+from solr_sematic_importer_spark.operators.function_query import (
+    bm25_boosted_topk,
+    bm25_collapse_topk,
+    recip,
+    rerank_topk,
+)
+from solr_sematic_importer_spark.operators.score import (
+    bm25_topk,
+    facet_on_query,
+    score_or_docs,
+)
+from solr_sematic_importer_spark.operators.select import select
+from solr_sematic_importer_spark.sources.transcripts import synthetic_transcripts
+
+Q = "you one word"
+
+
+@pytest.fixture(scope="module")
+def tdf(spark):
+    df = synthetic_transcripts(spark, 60).withColumn("n_chars", F.length("text"))
+    df.persist().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def idx(tdf):
+    return build_index(tdf, profile="text_en")
+
+
+@pytest.fixture(scope="module")
+def fields(idx, tdf):
+    f = idx.doc_stats.select("doc_id", "conv_id", "turn_idx").join(
+        tdf, ["conv_id", "turn_idx"]
+    ).select("doc_id", F.col("role").alias("grp"), "n_chars")
+    f.persist().count()
+    return f
+
+
+def _rows(df):
+    return [(r["doc_id"], r["score"]) for r in df.select("doc_id", "score").collect()]
+
+
+def test_select_plain_equals_bm25_topk(idx):
+    got = _rows(select(idx, Q, rows=10).docs)
+    want = _rows(bm25_topk(idx, Q, k=10).select("doc_id", "score"))
+    assert got == want
+
+
+def test_select_boost_equals_boosted_topk(idx, fields):
+    r = select(idx, Q, fields=fields,
+               boost=recip(F.col("n_chars"), 0.01, 1.0, 1.0), rows=8)
+    want = _rows(bm25_boosted_topk(
+        idx, Q, fields, recip(F.col("n_chars"), 0.01, 1.0, 1.0), k=8
+    ))
+    assert _rows(r.docs) == want
+
+
+def test_select_rerank_equals_rerank_topk(idx):
+    r = select(idx, Q, rerank_query="word", rerank_docs=15,
+               rerank_weight=2.0, rows=10)
+    want = _rows(rerank_topk(idx, Q, "word", rerank_docs=15,
+                             rerank_weight=2.0, k=10))
+    assert _rows(r.docs) == want
+
+
+def test_select_collapse_equals_collapse_topk(idx, fields):
+    r = select(idx, Q, fields=fields, collapse_field="grp", rows=5)
+    got = [(x["doc_id"], x["grp"], x["score"]) for x in r.docs.collect()]
+    want = [
+        (x["doc_id"], x["grp"], x["score"])
+        for x in bm25_collapse_topk(idx, Q, fields, "grp", k=5).collect()
+    ]
+    assert got == want
+
+
+def test_select_combined_request(idx, fields):
+    """q + fq + mm + boost + collapse + facet in ONE call: the page is
+    the hand-composed pipeline's, and facets count the post-collapse set."""
+    fqp = F.col("doc_id") % 2 == 0
+    r = select(
+        idx, Q, fq=fqp, mm=2, fields=fields,
+        boost=recip(F.col("n_chars"), 0.01, 1.0, 1.0),
+        collapse_field="grp", facet_fields=("grp",), rows=10,
+        with_num_found=True,
+    )
+    # hand-compose: scores -> fq+mm -> boost -> collapse window
+    base = {
+        x["doc_id"]: x["score"]
+        for x in score_or_docs(idx, Q, extra_filter=fqp, min_match=2).collect()
+    }
+    lens = {x["doc_id"]: x["n_chars"] for x in fields.collect()}
+    grp = {x["doc_id"]: x["grp"] for x in fields.collect()}
+    boosted = {
+        d: s * (1.0 / (0.01 * lens[d] + 1.0)) for d, s in base.items()
+    }
+    heads = {}
+    for d, s in boosted.items():
+        g = grp[d]
+        if g not in heads or (s, -d) > (heads[g][1], -heads[g][0]):
+            heads[g] = (d, s)
+    want = sorted(heads.values(), key=lambda x: (-x[1], x[0]))[:10]
+    got = [(x["doc_id"], x["score"]) for x in r.docs.select("doc_id", "score").collect()]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, sa), (_, sb) in zip(got, want):
+        assert sa == pytest.approx(sb, rel=1e-12)
+    # facets: counts over the post-collapse match set == number of groups
+    fc = {x["grp"]: x["cnt"] for x in r.facets["grp"].collect()}
+    assert fc == {g: 1 for g in heads}
+    assert r.num_found == len(heads)
+
+
+def test_select_elevation_composes_with_rerank(idx):
+    """Elevation pins its head AFTER reranking adjusted the organic
+    scores: the pinned docs come first in configured order with their
+    REranked scores, the organic tail is the rerank ranking minus them."""
+    rr = select(idx, Q, rerank_query="word", rerank_docs=15,
+                rerank_weight=2.0, rows=30)
+    organic = [(x["doc_id"], x["score"]) for x in rr.docs.collect()]
+    pin = [organic[3][0], organic[1][0]]  # pin two mid-rank docs, swapped
+    r = select(idx, Q, rerank_query="word", rerank_docs=15,
+               rerank_weight=2.0, elevate_ids=pin, rows=10)
+    rows = r.docs.collect()
+    assert [x["doc_id"] for x in rows[:2]] == pin
+    assert all(x["elevated"] for x in rows[:2])
+    # pinned docs carry their reranked organic scores
+    by_id = dict(organic)
+    for x in rows[:2]:
+        assert math.isclose(x["score"], by_id[x["doc_id"]], rel_tol=1e-12)
+    # organic tail: rerank ranking minus the pinned docs, order preserved
+    want_tail = [d for d, _ in organic if d not in set(pin)][:8]
+    assert [x["doc_id"] for x in rows[2:]] == want_tail
+    assert not any(x["elevated"] for x in rows[2:])
+
+
+def test_select_facet_equals_facet_on_query(idx, fields):
+    r = select(idx, Q, fields=fields, facet_fields=("grp",), rows=5)
+    got = {x["grp"]: x["cnt"] for x in r.facets["grp"].collect()}
+    want = {
+        x["grp"]: x["cnt"]
+        for x in facet_on_query(idx, Q, fields, "grp").collect()
+    }
+    assert got == want
+
+
+def test_select_cursor_paging(idx):
+    p1 = select(idx, Q, rows=5).docs.collect()
+    cur = (p1[-1]["score"], p1[-1]["doc_id"])
+    p2 = select(idx, Q, rows=5, cursor_mark=cur).docs.collect()
+    full = select(idx, Q, rows=10).docs.collect()
+    assert [x["doc_id"] for x in p1 + p2] == [x["doc_id"] for x in full]
+    with pytest.raises(ValueError, match="cursorMark"):
+        select(idx, Q, rows=5, cursor_mark=cur, start=5)
+
+
+def test_select_offset_paging(idx):
+    full = select(idx, Q, rows=20).docs.collect()
+    page = select(idx, Q, start=10, rows=5).docs.collect()
+    assert [x["doc_id"] for x in page] == [x["doc_id"] for x in full[10:15]]
+
+
+def test_select_sort_by_field(idx, fields):
+    r = select(idx, Q, fields=fields, sort_field="n_chars",
+               sort_ascending=True, rows=10)
+    rows = r.docs.collect()
+    lens = [x["n_chars"] for x in rows]
+    assert lens == sorted(lens)
+    assert set(r.docs.columns) == {"doc_id", "n_chars", "score"}
+
+
+def test_select_no_match_is_empty_but_shaped(idx, fields):
+    r = select(idx, "zzznosuchterm", fields=fields,
+               facet_fields=("grp",), with_num_found=True)
+    assert r.docs.count() == 0 and r.num_found == 0
+    assert r.facets["grp"].count() == 0
