@@ -262,8 +262,10 @@ def q_lucene_syntax_query(spark, sf_dir):
 
 def q_fuzzy_query(spark, sf_dir):
     """Lucene FuzzyQuery through the classic parser ('mergr~2'): vocab
-    terms within 2 Levenshtein edits, scored as one SynonymQuery-style
-    blended pseudo-term (df = max member df, per-doc tf summed)."""
+    terms within 2 Levenshtein edits, capped at maxExpansions=50 by
+    (similarity boost desc, df desc), scored under the blended-freq
+    rewrite — df blended to the max over members, each member a SHOULD
+    clause boosted by 1 - d/min(len) (Lucene FuzzyTermsEnum)."""
     from solr_sematic_importer_spark.operators.boolean_query import (
         boolean_query_topk,
     )
@@ -1079,6 +1081,61 @@ def q_bm25_min_should_match(spark, sf_dir):
     return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_mm_conditional(spark, sf_dir):
+    """edismax conditional mm spec '2<-25%' on a 4-term query: above 2
+    optional clauses, all-but-25% are required -> 3 of 4 (the full
+    SolrPluginUtils.calculateMinShouldMatch grammar, the destination
+    handler's tuned-search form — solrconfig.xml:650-670)."""
+    from solr_sematic_importer_spark.operators.score import bm25_topk
+
+    idx = _doc_index(spark, sf_dir)
+    top = bm25_topk(
+        idx, "merge sort window dup", k=10, quantize=False, min_match="2<-25%"
+    )
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_select_combined(spark, sf_dir):
+    """ONE /select request composing q + fq + boost + collapse — the
+    handler's everyday combined form (solrconfig.xml:650-680) through the
+    single-call front door (operators/select.py)."""
+    from solr_sematic_importer_spark.operators.function_query import recip
+    from solr_sematic_importer_spark.operators.select import select
+
+    idx = _doc_index(spark, sf_dir)
+    fields = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    r = select(
+        idx, Q_OR,
+        fq=F.col("doc_id") % 2 == 0,
+        fields=fields,
+        boost=recip(F.col("n_chars"), 0.001, 1.0, 1.0),
+        collapse_field="source",
+        rows=10, quantize=False,
+    )
+    return r.docs.select("doc_id", "source", F.round("score", 4).alias("score"))
+
+
+def q_select_combined_facet(spark, sf_dir):
+    """The SAME combined /select request's facet section: counts on lang
+    over the post-fq, post-collapse match set (collapse is an fq, so
+    facets see the collapsed set — CollapsingQParser semantics)."""
+    from solr_sematic_importer_spark.operators.function_query import recip
+    from solr_sematic_importer_spark.operators.select import select
+
+    idx = _doc_index(spark, sf_dir)
+    fields = _docs(spark, sf_dir).select("doc_id", "source", "lang", "n_chars")
+    r = select(
+        idx, Q_OR,
+        fq=F.col("doc_id") % 2 == 0,
+        fields=fields,
+        boost=recip(F.col("n_chars"), 0.001, 1.0, 1.0),
+        collapse_field="source",
+        facet_fields=("lang",),
+        rows=10, quantize=False,
+    )
+    return r.facets["lang"].select("lang", F.col("cnt").cast("long").alias("cnt"))
+
+
 def q_bm25_boost_function(spark, sf_dir):
     """edismax boost= multiplicative function query: final =
     bm25 * recip(n_chars, 0.001, 1, 1) — shorter docs float up."""
@@ -1189,7 +1246,74 @@ def q_elevated_query(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Entry ORDER is part of the contract: the driver's correctness
+    window covers the FIRST 50 oracle-gated entries, so entries the
+    driver has never (or least recently) confirmed rotate to the front
+    each round (VERDICT r3 next-round #1). Round-4 front block: the
+    media entries (failed r2, rotated out of the r3 window), the 13
+    other r2-only entries, this round's NEW entries (conditional mm,
+    /select front door), and the two operators whose semantics changed
+    this round (fuzzy blend, boost left-join). Long-green bm25 basics
+    take their turn OUTSIDE the window — the local contract gate
+    (tests/test_entry_contract.py, `make check-entries`) still verifies
+    every entry at sf0.01 regardless of order."""
     return {
+        # -- driver-unconfirmed (r2-only or failed-r2), front of window --
+        "media_features": q_media_features,
+        "media_frame_sample": q_media_frames,
+        "media_stats_by_kind": q_media_stats,
+        "delete_reload_query": q_delete_reload,
+        "protobuf_wire_roundtrip": q_protobuf_wire,
+        "flatten_nested": q_flatten_nested,
+        "ann_cosine_topk": q_ann_cosine,
+        "embedding_near_dup": q_embedding_near_dup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "bpe_token_count": q_bpe_token_count,
+        "token_stats": q_token_stats,
+        "stopword_ratio": q_stopword_ratio,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality,
+        "truncate_field": q_truncate,
+        "solr_date_format": q_solr_dates,
+        # -- new or semantics-changed this round --
+        "mm_conditional": q_mm_conditional,
+        "select_combined": q_select_combined,
+        "select_combined_facet": q_select_combined_facet,
+        "fuzzy_query": q_fuzzy_query,
+        "bm25_boost_function": q_bm25_boost_function,
+        # -- r3-green, kept inside the window --
+        "wildcard_query": q_wildcard_query,
+        "bm25_phrase_slop": q_bm25_phrase_slop,
+        "bm25_multifield": q_bm25_multifield,
+        "bm25_dismax": q_bm25_dismax,
+        "fielded_query": q_fielded_query,
+        "bm25_min_should_match": q_bm25_min_should_match,
+        "rerank_query": q_rerank_query,
+        "collapse_field": q_collapse_field,
+        "json_facet_stats": q_json_facet_stats,
+        "term_vectors": q_term_vectors,
+        "elevated_query": q_elevated_query,
+        "debug_explain": q_debug_explain,
+        "schemaless_infer": q_schemaless_infer,
+        "terms_component": q_terms_component,
+        "prefix_query": q_prefix_query,
+        "more_like_this": q_more_like_this,
+        "field_stats": q_field_stats,
+        "facet_source": q_facet_source,
+        "facet_range_day": q_facet_range_day,
+        "facet_on_query": q_facet_on_query,
+        "facet_pivot": q_facet_pivot,
+        "chunks_char": q_chunks,
+        "chunk_parent_join": q_chunk_parent_join,
+        "block_join_parent": q_block_join_parent,
+        "chunk_stats": q_chunk_stats,
+        "orphan_anti_join": q_orphan_anti_join,
+        "window_first_event": q_window_first_event,
+        "content_hash_groups": q_content_hash_groups,
+        "fingerprint": q_fingerprint,
+        # ---------------- window boundary (50 oracle entries above) -----
+        # -- long-green bm25/facet basics, outside the driver window this
+        #    round (r1-r3 green; still checked by the local contract gate)
         "tf_per_doc_term": q_tf,
         "docfreq": q_docfreq,
         "doc_stats_dl": q_doc_stats,
@@ -1207,55 +1331,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spellcheck": q_spellcheck,
         "sort_by_field": q_sort_by_field,
         "lucene_syntax_query": q_lucene_syntax_query,
-        "fuzzy_query": q_fuzzy_query,
-        "wildcard_query": q_wildcard_query,
-        "bm25_phrase_slop": q_bm25_phrase_slop,
-        "bm25_multifield": q_bm25_multifield,
-        "bm25_dismax": q_bm25_dismax,
-        "fielded_query": q_fielded_query,
-        "bm25_min_should_match": q_bm25_min_should_match,
-        "bm25_boost_function": q_bm25_boost_function,
-        "rerank_query": q_rerank_query,
-        "collapse_field": q_collapse_field,
-        "json_facet_stats": q_json_facet_stats,
-        "term_vectors": q_term_vectors,
-        "elevated_query": q_elevated_query,
-        "debug_explain": q_debug_explain,
-        "schemaless_infer": q_schemaless_infer,
-        "terms_component": q_terms_component,
-        "prefix_query": q_prefix_query,
-        "more_like_this": q_more_like_this,
-        "field_stats": q_field_stats,
         "facet_lang": q_facet_lang,
-        "facet_source": q_facet_source,
-        "facet_range_day": q_facet_range_day,
-        "facet_on_query": q_facet_on_query,
-        "facet_pivot": q_facet_pivot,
-        "chunks_char": q_chunks,
-        "chunk_parent_join": q_chunk_parent_join,
-        "block_join_parent": q_block_join_parent,
-        "chunk_stats": q_chunk_stats,
-        "orphan_anti_join": q_orphan_anti_join,
-        "window_first_event": q_window_first_event,
         "top_terms_by_df": q_top_terms,
-        "content_hash_groups": q_content_hash_groups,
-        "fingerprint": q_fingerprint,
-        "token_stats": q_token_stats,
-        "stopword_ratio": q_stopword_ratio,
-        "lang_id": q_lang_id,
-        "quality_score": q_quality,
-        "ngram_jaccard": q_ngram_jaccard,
-        "bpe_token_count": q_bpe_token_count,
-        "embedding_near_dup": q_embedding_near_dup,
-        "ann_cosine_topk": q_ann_cosine,
-        "truncate_field": q_truncate,
-        "solr_date_format": q_solr_dates,
-        "flatten_nested": q_flatten_nested,
-        "protobuf_wire_roundtrip": q_protobuf_wire,
-        "delete_reload_query": q_delete_reload,
-        "media_features": q_media_features,
-        "media_frame_sample": q_media_frames,
-        "media_stats_by_kind": q_media_stats,
         # rows-only (no oracle entry):
         "bm25_lucene_text_en": q_bm25_lucene,
         "bm25_wand_blocks": q_bm25_wand,
@@ -1775,25 +1852,24 @@ ORDER BY raw_score DESC, doc_id ASC LIMIT 10""",
         "fuzzy_query": f"""
 WITH {_TF}{_DL},
 mem AS (
-    SELECT DISTINCT term FROM tf WHERE levenshtein(term, 'mergr') <= 2
+    SELECT term, count(*)::BIGINT AS df,
+           1.0 - levenshtein(term, 'mergr')::DOUBLE / least(length(term), 5)
+               AS boost
+    FROM tf WHERE levenshtein(term, 'mergr') <= 2
+    GROUP BY term
+    ORDER BY boost DESC, df DESC, term ASC
+    LIMIT 50
 ),
-grp AS (
-    SELECT doc_id, sum(tf)::BIGINT AS tfs FROM tf
-    WHERE term IN (SELECT term FROM mem) GROUP BY doc_id
-),
-dfmax AS (
-    SELECT max(c) AS m FROM (
-        SELECT count(*)::BIGINT AS c FROM tf
-        WHERE term IN (SELECT term FROM mem) GROUP BY term
-    )
-),
+dfmax AS (SELECT max(df) AS m FROM mem),
 scores AS (
-    SELECT grp.doc_id,
-           ln(1 + (s.n - dfmax.m + 0.5) / (dfmax.m + 0.5))
-             * grp.tfs / (grp.tfs + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl))
-             AS raw_score
-    FROM grp JOIN dl USING (doc_id)
+    SELECT tf.doc_id,
+           sum(mem.boost
+               * ln(1 + (s.n - dfmax.m + 0.5) / (dfmax.m + 0.5))
+               * tf.tf / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl))
+              ) AS raw_score
+    FROM tf JOIN mem USING (term) JOIN dl USING (doc_id)
     CROSS JOIN stats s CROSS JOIN dfmax
+    GROUP BY tf.doc_id
 )
 SELECT doc_id, round(raw_score, 4) AS score
 FROM scores ORDER BY raw_score DESC, doc_id ASC LIMIT 10""",
@@ -1837,7 +1913,42 @@ FROM scores ORDER BY raw_score DESC, doc_id ASC LIMIT 10""",
         "bm25_dismax": _mf_oracle(Q_OR.split(), combine="dismax"),
         "fielded_query": _fielded_oracle(),
         "bm25_min_should_match": _bm25_oracle(Q_OR.split(), mm=2),
+        # conditional spec '2<-25%' on 4 optional clauses -> 3 required
+        "mm_conditional": _bm25_oracle(
+            ["merge", "sort", "window", "dup"], mm=3
+        ),
         "bm25_boost_function": _boost_oracle(Q_OR.split()),
+        "select_combined": f"""
+WITH {_TF}{_DL},{_scores_cte('m', Q_OR.split())},
+boosted AS (
+    SELECT ms.doc_id, d.source,
+           ms.raw * (1.0 / (0.001 * d.n_chars + 1.0)) AS raw
+    FROM ms JOIN documents d USING (doc_id)
+    WHERE ms.doc_id % 2 = 0
+),
+r AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY source ORDER BY raw DESC, doc_id ASC) AS rn
+    FROM boosted
+)
+SELECT doc_id, source, round(raw, 4) AS score
+FROM r WHERE rn = 1 ORDER BY raw DESC, doc_id ASC LIMIT 10""",
+        "select_combined_facet": f"""
+WITH {_TF}{_DL},{_scores_cte('m', Q_OR.split())},
+boosted AS (
+    SELECT ms.doc_id, d.source,
+           ms.raw * (1.0 / (0.001 * d.n_chars + 1.0)) AS raw
+    FROM ms JOIN documents d USING (doc_id)
+    WHERE ms.doc_id % 2 = 0
+),
+r AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY source ORDER BY raw DESC, doc_id ASC) AS rn
+    FROM boosted
+)
+SELECT d.lang, count(*)::BIGINT AS cnt
+FROM r JOIN documents d USING (doc_id)
+WHERE r.rn = 1 GROUP BY d.lang""",
         "rerank_query": _rerank_oracle(
             Q_OR.split(), Q_RARE.split(), rerank_docs=30, weight=2.0
         ),

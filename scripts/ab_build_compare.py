@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Interleaved A/B index-build comparison between two source trees.
+
+The round-3 bench regressed 4.1x vs round 2; a same-day control showed a
+2.6x whole-host throttle but left a ~1.6x residual unexplained (VERDICT r3
+next-round #2). This script pins that residual: it alternates builds of an
+OLD commit's tree and HEAD in ONE session — A,B,A,B,... so both trees see
+the same host conditions — using the SAME worker protocol (subprocess per
+run, tmpfs shuffle+output, warm-up build then measured build, identical
+pre-materialized input), and reports each tree's best/median and the
+HEAD/old ratio.
+
+Usage:
+    python scripts/ab_build_compare.py --old 6ba44cf --rounds 3
+The old tree is checked out into a temporary git worktree and removed
+afterwards.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def worker(tree: str, cpus: int, n_convs: int) -> None:
+    import shutil
+    import tempfile
+
+    sys.path.insert(0, tree)
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", f"{max(2 * cpus, 12)}g")
+    os.environ.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/spark-local")
+    from solr_sematic_importer_spark.operators.build import build_and_write_index
+    from solr_sematic_importer_spark.session import get_spark
+    from solr_sematic_importer_spark.sources.transcripts import synthetic_transcripts
+
+    spark = get_spark(
+        f"ab-{os.path.basename(tree)}", master=f"local[{cpus}]",
+        shuffle_partitions=2 * cpus,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    tdf = synthetic_transcripts(spark, n_convs, partitions=4 * cpus).persist()
+    n_turns = tdf.count()
+    wall = None
+    for _ in range(2):  # warm-up build, then the measured one
+        out = tempfile.mkdtemp(prefix="abidx_", dir="/dev/shm")
+        t0 = time.perf_counter()
+        build_and_write_index(tdf, out, profile="text_en")
+        wall = time.perf_counter() - t0
+        shutil.rmtree(out, ignore_errors=True)
+    print(
+        "WORKER_RESULT "
+        + json.dumps(
+            {
+                "n_turns": n_turns,
+                "build_sec": round(wall, 3),
+                "turns_per_sec": round(n_turns / wall, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+def _run_worker(tree: str, cpus: int, n_convs: int) -> dict:
+    # clear content-addressed package zips so each subprocess ships the
+    # exact tree it imports
+    for z in glob.glob("/tmp/solr_sematic_importer_spark-*.zip"):
+        try:
+            os.remove(z)
+        except OSError:
+            pass
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--worker-tree", tree,
+         "--cpus", str(cpus), "--n-convs", str(n_convs)],
+        capture_output=True, text=True, timeout=3600,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("WORKER_RESULT "):
+            return json.loads(line[len("WORKER_RESULT "):])
+    sys.stderr.write(out.stdout[-3000:] + out.stderr[-3000:])
+    raise SystemExit(f"worker for {tree} failed")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worker-tree", default=None)
+    ap.add_argument("--cpus", type=int, default=16)
+    ap.add_argument("--n-convs", type=int, default=12000)
+    ap.add_argument("--old", default="6ba44cf")
+    ap.add_argument("--rounds", type=int, default=3)
+    args = ap.parse_args()
+
+    if args.worker_tree:
+        worker(args.worker_tree, args.cpus, args.n_convs)
+        return
+
+    old_tree = f"/tmp/ab_{args.old}"
+    subprocess.run(["git", "-C", REPO, "worktree", "add", "--force",
+                    old_tree, args.old], check=True)
+    samples: dict[str, list] = {"old": [], "head": []}
+    try:
+        for r in range(args.rounds):
+            for label, tree in (("old", old_tree), ("head", REPO)):
+                got = _run_worker(tree, args.cpus, args.n_convs)
+                samples[label].append(got)
+                print(f"round {r + 1} {label:4s}: {got['build_sec']}s "
+                      f"({got['turns_per_sec']} turns/s)", flush=True)
+    finally:
+        subprocess.run(["git", "-C", REPO, "worktree", "remove", "--force",
+                        old_tree], check=False)
+
+    def best(label):
+        return max(s["turns_per_sec"] for s in samples[label])
+
+    def med(label):
+        xs = sorted(s["turns_per_sec"] for s in samples[label])
+        return xs[len(xs) // 2]
+
+    report = {
+        "metric": "ab_build_ratio_head_over_old",
+        "value": round(best("head") / best("old"), 3),
+        "unit": "best turns_per_sec ratio (>1 = HEAD faster)",
+        "median_ratio": round(med("head") / med("old"), 3),
+        "old_commit": args.old,
+        "cpus": args.cpus,
+        "n_convs": args.n_convs,
+        "samples": samples,
+    }
+    print(json.dumps(report))
+    with open(os.path.join(REPO, "AB_BUILD.json"), "w") as f:
+        json.dump(report, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -80,3 +80,24 @@ def test_ivf_recall_and_determinism(spark):
     rec3 = len(set(r3) & set(exact)) / 10
     rec6 = len(set(r6) & set(exact)) / 10
     assert rec6 >= rec3 >= 0.1, (rec3, rec6)
+
+
+def test_quantize_dl_col_matches_length_table_roundtrip(spark):
+    """The closed-form JVM quantization (build.quantize_dl_col) must equal
+    the LENGTH_TABLE round-trip decode(encode(dl)) across a full sweep of
+    small values plus power-of-two boundaries up to 2^30."""
+    from pyspark.sql import functions as F
+
+    from solr_sematic_importer_spark.operators.build import quantize_dl_col
+
+    probes = list(range(0, 70_000)) + [
+        2**k + d for k in range(17, 31) for d in (-1, 0, 1)
+    ]
+    df = spark.createDataFrame([(int(v),) for v in probes], "dl long")
+    got = {
+        r["dl"]: r["q"]
+        for r in df.select("dl", quantize_dl_col(F.col("dl")).alias("q")).collect()
+    }
+    for v in probes:
+        want = int(LENGTH_TABLE[int_to_byte4(int(v))])
+        assert got[v] == want, (v, got[v], want)
