@@ -196,6 +196,28 @@ def main() -> None:
                             rerank_weight=2.0, k=10, quantize=False).collect(),
     )
 
+    # --- round-4 surfaces: blended fuzzy + the one-call /select front door --
+    from solr_sematic_importer_spark.operators.function_query import recip
+    from solr_sematic_importer_spark.operators.score import bm25_fuzzy_topk
+    from solr_sematic_importer_spark.operators.select import select as select_rq
+
+    timed(
+        "fuzzy_query",
+        lambda: bm25_fuzzy_topk(didx, "mergr", distance=2, k=10,
+                                quantize=False).collect(),
+    )
+
+    def _select_combined():
+        fields = docs.select("doc_id", "source", "n_chars")
+        r = select_rq(
+            didx, "merge sort window", fq=F.col("doc_id") % 2 == 0,
+            fields=fields, boost=recip(F.col("n_chars"), 0.001, 1.0, 1.0),
+            collapse_field="source", rows=10, quantize=False,
+        )
+        return r.docs.collect()
+
+    timed("select_combined", _select_combined)
+
     # --- dedup: minhash + LSH over documents -------------------------------
     def _dedup():
         sh = shingles(docs, n=3)

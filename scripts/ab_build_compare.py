@@ -118,15 +118,21 @@ def main() -> None:
     def best(label):
         return max(s["turns_per_sec"] for s in samples[label])
 
-    def med(label):
-        xs = sorted(s["turns_per_sec"] for s in samples[label])
-        return xs[len(xs) // 2]
-
+    # per-round (adjacent-in-time) ratios are the drift-robust statistic:
+    # the host's throughput swings up to 4x across minutes, so cross-window
+    # best-of comparisons mostly measure which tree drew the cleaner
+    # window; a pair shares (most of) one window
+    pair_ratios = sorted(
+        h["turns_per_sec"] / o["turns_per_sec"]
+        for o, h in zip(samples["old"], samples["head"])
+    )
+    median_pair = pair_ratios[len(pair_ratios) // 2]
     report = {
         "metric": "ab_build_ratio_head_over_old",
-        "value": round(best("head") / best("old"), 3),
-        "unit": "best turns_per_sec ratio (>1 = HEAD faster)",
-        "median_ratio": round(med("head") / med("old"), 3),
+        "value": round(median_pair, 3),
+        "unit": "median per-round turns_per_sec ratio (>1 = HEAD faster)",
+        "pair_ratios": [round(r, 3) for r in pair_ratios],
+        "best_of_ratio": round(best("head") / best("old"), 3),
         "old_commit": args.old,
         "cpus": args.cpus,
         "n_convs": args.n_convs,

@@ -123,24 +123,26 @@ def analyze_text_en(text: str) -> List[str]:
     """tokenize -> stop(en, ignoreCase) -> lowercase -> possessive ->
     keywordMarker(protwords) -> porterStem.
 
-    Hot-path shape: one C-speed list comprehension of memo lookups over
-    the raw tokens, a C `in` scan for (rare) memo misses, then a C-speed
-    truthiness filter ("" marks stopwords). The per-token Python branching
-    this replaces measured ~25% of analyzer wall."""
+    Hot-path shape: ONE pass, one output list — per token a memo dict hit
+    and a truthiness check ("" marks stopwords). A three-list variant
+    (comprehension of memo lookups, `None in` rescue scan, filter
+    comprehension) was tried in round 3 and is REVERTED here: the extra
+    intermediate lists made the 16-way distributed analyze stage ~1.3x
+    slower (allocator/GC contention across Python workers), the opposite
+    of its single-threaded promise — measured by the interleaved stage
+    probe in BASELINE.md §8."""
     memo = _TEXT_EN_MEMO
-    get = memo.get
-    raw = tokenize(text)
-    mapped = [get(t) for t in raw]
-    if None in mapped:  # rare: first sighting of a raw token
-        for i, r in enumerate(mapped):
-            if r is None:
-                t = raw[i]
-                r = _text_en_term(t)
-                if len(memo) >= _MEMO_CAP:
-                    memo.clear()
-                memo[t] = r
-                mapped[i] = r
-    return [r for r in mapped if r]
+    out: List[str] = []
+    for t in tokenize(text):
+        r = memo.get(t)
+        if r is None:
+            r = _text_en_term(t)
+            if len(memo) >= _MEMO_CAP:
+                memo.clear()
+            memo[t] = r
+        if r:
+            out.append(r)
+    return out
 
 
 _SIMPLE_RE = re.compile(r"[^a-z0-9]+")
