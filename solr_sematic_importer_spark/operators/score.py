@@ -694,30 +694,22 @@ def bm25_grouped_topk(
     )
 
 
-def explain_topk(
+def score_partials(
     index: InvertedIndex,
     query: str,
-    k: int = 10,
     k1: float = K1_DEFAULT,
     b: float = B_DEFAULT,
     quantize: bool = True,
-) -> DataFrame:
-    """Solr ``debugQuery=true`` explain: the per-term score breakdown for
-    the query's top-k docs — (doc_id, term, tf, df, idf, partial) where
-    ``sum(partial) over doc = score``. Mirrors Lucene's Explanation tree
-    flattened to one row per (doc, term) leaf.
-
-    Plan: the usual scoring stage keeps its per-(doc,term) partials
-    alive; the top-k doc set (TakeOrdered, request-sized) semi-joins the
-    partials, so explain costs one extra broadcast join over the already-
-    scored rows, not a rescore."""
+) -> "DataFrame | None":
+    """Per-(doc, term) BM25 score components for every doc matching any
+    query term — (doc_id, term, tf, df, idf, partial) with
+    ``sum(partial) over doc = score``. The shared leaf table behind
+    ``explain_topk`` and ``select(debug=True)``: callers semi-join their
+    own (request-sized) doc set. None when no query term is indexed."""
     spark = index.postings_flat.sparkSession
     terms = analyze_query(query, index.profile)
-    empty = spark.createDataFrame(
-        [], "doc_id long, term string, tf long, df long, idf double, partial double"
-    )
     if not terms or index.n_docs == 0:
-        return empty
+        return None
     counts = Counter(terms)
     dfs = {
         r["term"]: r["df"]
@@ -731,12 +723,12 @@ def explain_topk(
         if t in dfs
     ]
     if not weights:
-        return empty
+        return None
     wdf = spark.createDataFrame(
         weights, "term string, df double, idf double, w double"
     )
     dl_col = "dl_quant" if quantize else "dl"
-    partials = (
+    return (
         index.flat_terms([w[0] for w in weights])
         .join(F.broadcast(wdf), "term")
         .select(
@@ -755,6 +747,31 @@ def explain_topk(
             ).alias("partial"),
         )
     )
+
+
+def explain_topk(
+    index: InvertedIndex,
+    query: str,
+    k: int = 10,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    quantize: bool = True,
+) -> DataFrame:
+    """Solr ``debugQuery=true`` explain: the per-term score breakdown for
+    the query's top-k docs — (doc_id, term, tf, df, idf, partial) where
+    ``sum(partial) over doc = score``. Mirrors Lucene's Explanation tree
+    flattened to one row per (doc, term) leaf.
+
+    Plan: the usual scoring stage keeps its per-(doc,term) partials
+    alive; the top-k doc set (TakeOrdered, request-sized) semi-joins the
+    partials, so explain costs one extra broadcast join over the already-
+    scored rows, not a rescore."""
+    spark = index.postings_flat.sparkSession
+    partials = score_partials(index, query, k1=k1, b=b, quantize=quantize)
+    if partials is None:
+        return spark.createDataFrame(
+            [], "doc_id long, term string, tf long, df long, idf double, partial double"
+        )
     top = (
         bm25_topk(index, query, k=k, k1=k1, b=b, quantize=quantize)
         .select("doc_id")

@@ -41,7 +41,8 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from ..functions.similarity import B_DEFAULT, K1_DEFAULT
 from .build import InvertedIndex
-from .score import score_or_docs
+from .highlight import highlight as _highlight
+from .score import score_or_docs, score_partials
 
 
 @dataclass
@@ -51,6 +52,8 @@ class SelectResponse:
     docs: DataFrame                 # the page: doc_id, score (+ extras)
     facets: dict = dc_field(default_factory=dict)   # field -> (value, cnt) DF
     num_found: "int | None" = None  # total match count (opt-in, extra job)
+    highlighting: "DataFrame | None" = None  # hl section: doc_id, snippet
+    explain: "DataFrame | None" = None       # debugQuery: per-term partials
 
 
 def select(
@@ -74,6 +77,11 @@ def select(
     rows: int = 10,
     cursor_mark: "tuple[float, int] | None" = None,
     with_num_found: bool = False,
+    hl_source: "DataFrame | None" = None,
+    hl_frag_size: int = 100,
+    hl_pre: str = "<em>",
+    hl_post: str = "</em>",
+    debug: bool = False,
     k1: float = K1_DEFAULT,
     b: float = B_DEFAULT,
     quantize: bool = True,
@@ -89,6 +97,15 @@ def select(
     ``fields`` is the stored-field table (doc_id + whatever boost/
     collapse/facet/sort read). Returns :class:`SelectResponse` whose
     ``docs`` page is (doc_id[, collapse_field][, elevated, rank], score).
+
+    ``hl_source`` (``hl=true&hl.fl=text``): a (doc_id, text) table — the
+    response gains a ``highlighting`` section with one snippet per PAGE
+    doc whose text matches an analyzed query term (the page's doc ids
+    broadcast-semi-join the source, so highlighting reads ``rows`` docs,
+    never the corpus). ``debug=True`` (``debugQuery``): the response
+    gains an ``explain`` section — the per-(doc, term) BM25 breakdown
+    for exactly the docs on the page (post-boost/rerank/collapse), not a
+    re-derived plain-``q`` top-k.
     """
     spark = index.postings_flat.sparkSession
     if cursor_mark is not None and (start or elevate_ids):
@@ -96,6 +113,31 @@ def select(
     needs_fields = boost is not None or collapse_field or facet_fields or sort_field
     if needs_fields and fields is None:
         raise ValueError("boost/collapse/facet/sort require the stored-field table")
+
+    def _finish(page: DataFrame, facets: dict, num_found: "int | None") -> SelectResponse:
+        """Attach the hl / debug sections to the final page — both are
+        page-sized broadcast joins, never another pass over postings."""
+        hl_df = None
+        if hl_source is not None:
+            page_docs = F.broadcast(page.select("doc_id"))
+            hl_df = _highlight(
+                hl_source.join(page_docs, "doc_id", "left_semi"),
+                q, profile=index.profile,
+                frag_size=hl_frag_size, pre=hl_pre, post=hl_post,
+            )
+        explain_df = None
+        if debug:
+            partials = score_partials(index, q, k1=k1, b=b, quantize=quantize)
+            explain_df = (
+                spark.createDataFrame(
+                    [], "doc_id long, term string, tf long, df long, "
+                        "idf double, partial double")
+                if partials is None
+                else partials.join(
+                    F.broadcast(page.select("doc_id")), "doc_id", "left_semi")
+            )
+        return SelectResponse(docs=page, facets=facets, num_found=num_found,
+                              highlighting=hl_df, explain=explain_df)
 
     per_doc = score_or_docs(
         index, q, k1=k1, b=b, quantize=quantize,
@@ -112,8 +154,7 @@ def select(
             f: spark.createDataFrame([], f"{f} string, cnt long")
             for f in facet_fields
         }
-        return SelectResponse(docs=empty_docs, facets=facets,
-                              num_found=0 if with_num_found else None)
+        return _finish(empty_docs, facets, 0 if with_num_found else None)
 
     # 2. boost (same LEFT-join + identity-default shape as bm25_boosted_topk)
     if boost is not None:
@@ -218,7 +259,7 @@ def select(
         page = pinned.unionByName(organic).orderBy("rank")
         if start:
             page = page.filter(F.col("rank") >= start).orderBy("rank")
-        return SelectResponse(docs=page.limit(rows), facets=facets, num_found=num_found)
+        return _finish(page.limit(rows), facets, num_found)
 
     # 7. sort + paging
     if sort_field:
@@ -247,6 +288,4 @@ def select(
         )
     else:
         page = per_doc.orderBy(*order).limit(rows)
-    return SelectResponse(
-        docs=page.select(*out_cols), facets=facets, num_found=num_found
-    )
+    return _finish(page.select(*out_cols), facets, num_found)

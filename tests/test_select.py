@@ -177,6 +177,60 @@ def test_select_sort_by_field(idx, fields):
     assert set(r.docs.columns) == {"doc_id", "n_chars", "score"}
 
 
+@pytest.fixture(scope="module")
+def hl_source(idx, tdf):
+    src = idx.doc_stats.select("doc_id", "conv_id", "turn_idx").join(
+        tdf, ["conv_id", "turn_idx"]
+    ).select("doc_id", "text")
+    src.persist().count()
+    return src
+
+
+def test_select_hl_equals_standalone_highlight(idx, hl_source):
+    """hl=true: the highlighting section is the standalone highlight()
+    over exactly the page's docs — page-sized, keyed by doc_id."""
+    from solr_sematic_importer_spark.operators.highlight import highlight
+
+    r = select(idx, Q, rows=7, hl_source=hl_source)
+    page_ids = [x["doc_id"] for x in r.docs.collect()]
+    got = {x["doc_id"]: x["snippet"] for x in r.highlighting.collect()}
+    want_df = highlight(
+        hl_source.filter(F.col("doc_id").isin(page_ids)), Q, profile=idx.profile
+    )
+    want = {x["doc_id"]: x["snippet"] for x in want_df.collect()}
+    assert got == want
+    assert set(got) <= set(page_ids)
+    assert got  # the page's docs match the query, so snippets exist
+    assert all("<em>" in s for s in got.values())
+
+
+def test_select_debug_explains_the_page(idx, fields):
+    """debugQuery: explain rows cover exactly the PAGE docs (here the
+    post-boost page, not the plain-q top-k), and for each doc
+    sum(partial) equals the doc's PLAIN BM25 score."""
+    r = select(idx, Q, fields=fields,
+               boost=recip(F.col("n_chars"), 0.01, 1.0, 1.0),
+               rows=6, debug=True)
+    page_ids = {x["doc_id"] for x in r.docs.collect()}
+    ex = r.explain.collect()
+    assert {x["doc_id"] for x in ex} == page_ids
+    sums = {}
+    for x in ex:
+        sums[x["doc_id"]] = sums.get(x["doc_id"], 0.0) + x["partial"]
+    plain = {
+        x["doc_id"]: x["score"]
+        for x in score_or_docs(idx, Q).collect()
+    }
+    for d, s in sums.items():
+        assert s == pytest.approx(plain[d], rel=1e-12)
+
+
+def test_select_hl_debug_on_no_match(idx, hl_source):
+    r = select(idx, "zzznosuchterm", hl_source=hl_source, debug=True)
+    assert r.highlighting.count() == 0
+    assert r.explain.count() == 0
+
+
 def test_select_no_match_is_empty_but_shaped(idx, fields):
     r = select(idx, "zzznosuchterm", fields=fields,
                facet_fields=("grp",), with_num_found=True)
