@@ -46,7 +46,7 @@ from ..functions.similarity import (
     encode_norms,
     idf,
 )
-from .build import InvertedIndex
+from .build import InvertedIndex, term_dfs
 from .score import analyze_query
 
 DEFAULT_BUCKET_BITS = 14  # 16384-doc buckets: skew bound + pruning unit
@@ -236,22 +236,10 @@ def bm25_topk_wand(
         return spark.createDataFrame([], out_schema)
 
     counts = Counter(terms)
-    # driver-side df memo (the analog of Lucene's cached term dictionary):
+    # index-level df memo (the analog of Lucene's cached term dictionary):
     # repeat queries skip the term_stats lookup job entirely
-    cache = getattr(index, "_df_cache", None)
-    if cache is None:
-        cache = index._df_cache = {}
-    missing = [t for t in counts if t not in cache]
-    if missing:
-        found = {
-            r["term"]: int(r["df"])
-            for r in index.term_stats.filter(F.col("term").isin(missing))
-            .select("term", "df")
-            .collect()
-        }
-        for t in missing:
-            cache[t] = found.get(t, 0)
-    dfs = {t: cache[t] for t in counts if cache[t] > 0}
+    looked = term_dfs(index, list(counts))
+    dfs = {t: d for t, d in looked.items() if d > 0}
     weights = {
         t: float(mult) * idf(dfs[t], index.n_docs)
         for t, mult in counts.items()

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, functions as F
 from ..functions.analyzer import analyze_with_positions
 from ..functions.queryparser import MUST, MUST_NOT, SHOULD, Clause, parse_query
 from ..functions.similarity import B_DEFAULT, K1_DEFAULT, idf
-from .build import InvertedIndex
+from .build import InvertedIndex, term_dfs
 from .score import analyze_query
 
 
@@ -65,7 +65,6 @@ class _Evaluator:
         self.positions = positions
         self.k1, self.b = k1, b
         self.dl_col = "dl_quant" if quantize else "dl"
-        self._dfs_cache: dict[str, int] = {}
         self._next_cid = 0
 
     def _cid(self) -> int:
@@ -73,17 +72,8 @@ class _Evaluator:
         return self._next_cid
 
     def _df_of(self, terms: list[str]) -> dict[str, int]:
-        missing = [t for t in terms if t not in self._dfs_cache]
-        if missing:
-            found = {
-                r["term"]: int(r["df"])
-                for r in self.index.term_stats.filter(F.col("term").isin(missing))
-                .select("term", "df")
-                .collect()
-            }
-            for t in missing:
-                self._dfs_cache[t] = found.get(t, 0)
-        return {t: self._dfs_cache[t] for t in terms}
+        # index-level memo shared with every other scorer on this handle
+        return term_dfs(self.index, terms)
 
     def _sat(self, tf_col, w: float):
         return (

@@ -246,6 +246,33 @@ class InvertedIndex:
                 pass
 
 
+def term_dfs(index: InvertedIndex, terms: Sequence[str]) -> dict[str, int]:
+    """Memoized docfreq lookup — the driver-side analog of Lucene's cached
+    term dictionary. One ``term_stats`` job fetches only the terms not yet
+    seen on THIS index handle; repeat terms (the same query re-scored by
+    select's debug/rerank stages, a multifield pass, a warm repeat query)
+    cost zero jobs. Returns every requested term, 0 when unindexed.
+
+    df is encode-time docfreq: like Lucene, deletes do not decrement df
+    until compaction rewrites term_stats, so the memo can never go stale
+    on a live handle (delete_by_query only grows ``index.deletes``;
+    compact builds a NEW InvertedIndex and thus a fresh memo)."""
+    cache = getattr(index, "_df_cache", None)
+    if cache is None:
+        cache = index._df_cache = {}
+    missing = [t for t in terms if t not in cache]
+    if missing:
+        found = {
+            r["term"]: int(r["df"])
+            for r in index.term_stats.filter(F.col("term").isin(missing))
+            .select("term", "df")
+            .collect()
+        }
+        for t in missing:
+            cache[t] = found.get(t, 0)
+    return {t: cache[t] for t in terms}
+
+
 def build_index(
     df: DataFrame,
     text_col: str = "text",

@@ -30,7 +30,7 @@ import math
 
 from pyspark.sql import DataFrame, functions as F
 
-from .build import InvertedIndex
+from .build import InvertedIndex, term_dfs
 from .score import score_or_docs
 
 
@@ -71,12 +71,7 @@ def interesting_terms(
         }
     if not tv:
         return []
-    dfs = {
-        r["term"]: int(r["df"])
-        for r in index.term_stats.filter(F.col("term").isin(list(tv)))
-        .select("term", "df")
-        .collect()
-    }
+    dfs = term_dfs(index, list(tv))
     n = index.n_docs
     scored = [
         (t, tv[t] * (math.log(n / (dfs[t] + 1)) + 1.0))

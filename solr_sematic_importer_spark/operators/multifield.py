@@ -71,6 +71,39 @@ class MultiFieldIndex:
         self._caches.clear()
 
 
+def field_term_dfs(
+    index: MultiFieldIndex, fields: Sequence[str], terms: Sequence[str]
+) -> dict:
+    """Memoized per-(field, term) docfreq — the multi-field analog of
+    ``build.term_dfs``. One term_stats job per handle fetches only unseen
+    (field, term) pairs; a DisMax request whose clauses repeat tokens
+    across fields (the common qf shape) pays the lookup once. Returns
+    only pairs with df > 0 (matching the previous filter-collect shape)."""
+    cache = getattr(index, "_df_cache", None)
+    if cache is None:
+        cache = index._df_cache = {}
+    missing = [
+        (f, t) for f in fields for t in terms if (f, t) not in cache
+    ]
+    if missing:
+        found = {
+            (r["field"], r["term"]): int(r["df"])
+            for r in index.term_stats.filter(
+                F.col("field").isin(sorted({f for f, _ in missing}))
+                & F.col("term").isin(sorted({t for _, t in missing}))
+            )
+            .select("field", "term", "df")
+            .collect()
+        }
+        for pair in missing:
+            cache[pair] = found.get(pair, 0)
+    return {
+        (f, t): cache[(f, t)]
+        for f in fields for t in terms
+        if cache[(f, t)] > 0
+    }
+
+
 def build_multifield_index(
     df: DataFrame,
     fields: Sequence[str] = ("title", "body"),
@@ -257,14 +290,7 @@ def bm25_multifield_topk(
         return empty
 
     counts = Counter(terms)
-    dfs = {
-        (r["field"], r["term"]): r["df"]
-        for r in index.term_stats.filter(
-            F.col("field").isin(list(boosts)) & F.col("term").isin(list(counts))
-        )
-        .select("field", "term", "df")
-        .collect()
-    }
+    dfs = field_term_dfs(index, list(boosts), list(counts))
     # (field, term) -> boost_f * mult * idf_f, plus the field's avgdl as a
     # broadcast constant so the norm is a pure JVM expression
     weights = [
@@ -394,15 +420,7 @@ def fielded_query_topk(
         if not terms:
             return None
         counts = Counter(terms)
-        dfs = {
-            (r["field"], r["term"]): r["df"]
-            for r in index.term_stats.filter(
-                F.col("field").isin(list(field_weights))
-                & F.col("term").isin(list(counts))
-            )
-            .select("field", "term", "df")
-            .collect()
-        }
+        dfs = field_term_dfs(index, list(field_weights), list(counts))
         weights = [
             (
                 f,

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..functions.analyzer import analyze_with_positions
 from ..functions.similarity import B_DEFAULT, K1_DEFAULT, idf
-from .build import InvertedIndex
+from .build import InvertedIndex, term_dfs
 
 
 def build_positions(
@@ -148,13 +148,8 @@ def bm25_phrase_topk(
         return spark.createDataFrame([], out_schema)
     gaps = [p - poss[0] for p in poss]
 
-    dfs = {
-        r["term"]: int(r["df"])
-        for r in index.term_stats.filter(F.col("term").isin(sorted(set(terms))))
-        .select("term", "df")
-        .collect()
-    }
-    if any(t not in dfs for t in terms):
+    dfs = term_dfs(index, sorted(set(terms)))
+    if any(dfs[t] == 0 for t in terms):
         return spark.createDataFrame([], out_schema)
     w = sum(idf(dfs[t], index.n_docs) for t in terms)  # multiplicity counts
     avgdl = index.avgdl

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..functions.analyzer import PROFILES
 from ..functions.similarity import B_DEFAULT, K1_DEFAULT, idf
-from .build import InvertedIndex
+from .build import InvertedIndex, term_dfs
 
 
 def analyze_query(query: str, profile: str) -> list[str]:
@@ -171,16 +171,11 @@ def score_or_docs(
         return None
 
     counts = Counter(terms)
-    dfs = {
-        r["term"]: r["df"]
-        for r in index.term_stats.filter(
-            F.col("term").isin(list(counts))
-        ).select("term", "df").collect()
-    }
+    dfs = term_dfs(index, list(counts))
     weights = [
         (t, float(mult) * idf(dfs[t], index.n_docs), int(mult))
         for t, mult in counts.items()
-        if t in dfs
+        if dfs[t] > 0
     ]
     if not weights:
         return None
@@ -269,19 +264,14 @@ def bm25_topk_synonyms(
 
     groups = expand_terms(terms, synonyms)
     members = sorted({m for g in groups for m in g})
-    dfs = {
-        r["term"]: r["df"]
-        for r in index.term_stats.filter(F.col("term").isin(members))
-        .select("term", "df")
-        .collect()
-    }
+    dfs = term_dfs(index, members)
     # one weight per original token position; duplicate positions keep
     # multiplicity (Lucene builds one SHOULD clause per position)
     group_rows = []  # (term, group_id)
     weights = []     # (group_id, w)
     gid = 0
     for g in groups:
-        present = [m for m in g if m in dfs]
+        present = [m for m in g if dfs[m] > 0]
         if not present:
             continue
         weights.append((gid, idf(max(dfs[m] for m in present), index.n_docs)))
@@ -711,16 +701,12 @@ def score_partials(
     if not terms or index.n_docs == 0:
         return None
     counts = Counter(terms)
-    dfs = {
-        r["term"]: r["df"]
-        for r in index.term_stats.filter(F.col("term").isin(list(counts)))
-        .select("term", "df").collect()
-    }
+    dfs = term_dfs(index, list(counts))
     weights = [
         (t, float(dfs[t]), idf(dfs[t], index.n_docs),
          float(mult) * idf(dfs[t], index.n_docs))
         for t, mult in counts.items()
-        if t in dfs
+        if dfs[t] > 0
     ]
     if not weights:
         return None
@@ -831,12 +817,8 @@ def bm25_conjunction_topk(
     terms = sorted(set(analyze_query(query, index.profile)))
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
-    dfs = {
-        r["term"]: r["df"]
-        for r in index.term_stats.filter(F.col("term").isin(terms))
-        .select("term", "df").collect()
-    }
-    if len(dfs) < len(terms):  # a term with df=0 -> conjunction is empty
+    dfs = term_dfs(index, terms)
+    if any(dfs[t] == 0 for t in terms):  # a term with df=0 -> conjunction is empty
         return spark.createDataFrame([], "doc_id long, score double")
     wdf = spark.createDataFrame(
         [(t, idf(dfs[t], index.n_docs)) for t in terms], "term string, w double"

@@ -149,3 +149,25 @@ def test_block_join_parent_modes(spark):
     assert t[1] > m[1]          # many matching chunks accumulate
     assert t[2] == m[2]         # single matching chunk: total == max
     assert block_join_parent_topk(cidx, "", k=5).count() == 0
+
+
+def test_term_dfs_memoizes_per_handle(built):
+    """The shared df memo: the second lookup of the same terms must not
+    touch term_stats at all (repeat queries / composed select stages cost
+    zero lookup jobs), and unindexed terms memoize as 0."""
+    from solr_sematic_importer_spark.operators.build import term_dfs
+
+    idx, _ = built
+    d1 = term_dfs(idx, ["you", "zzznosuchterm"])
+    assert d1["zzznosuchterm"] == 0 and d1["you"] > 0
+    orig = idx.term_stats
+    idx.term_stats = None  # poison: any lookup would raise
+    try:
+        d2 = term_dfs(idx, ["you", "zzznosuchterm"])
+    finally:
+        idx.term_stats = orig
+    assert d2 == d1
+    # and a repeat query end-to-end returns identical results warm
+    a = [(r["doc_id"], r["score"]) for r in bm25_topk(idx, "you one", k=5).collect()]
+    b = [(r["doc_id"], r["score"]) for r in bm25_topk(idx, "you one", k=5).collect()]
+    assert a == b
