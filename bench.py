@@ -236,10 +236,11 @@ def main() -> None:
     shutil.rmtree(out_dir, ignore_errors=True)  # don't leak tmpfs across runs
 
     # --- perf note: the SAME build at local[16], same run ------------------
-    # The driver pins SPARK_GRAFT_CPUS=32, but this host has 16 physical
-    # cores and the build runs a Python worker next to each JVM task thread
-    # (~2N runnable threads), so local[16] is the faster configuration in
-    # every measured round (BASELINE.md §5/§7). Recording both levels in one
+    # The driver pins SPARK_GRAFT_CPUS=32; this host has 32 cores
+    # (1 thread/core) but the build pairs a Python worker with each JVM
+    # task thread and throughput measurably degrades past 16 concurrent
+    # workers (BASELINE.md §5/§7/§9), so local[16] has been the faster
+    # configuration in every measured round. Recording both levels in one
     # run lets the pinned-32 headline carry its own context (VERDICT r3
     # next-round #8). Subprocess because a JVM cannot change master
     # mid-session; excluded from the timed total.

@@ -78,27 +78,45 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--worker", type=int, default=None, help="run one level")
     ap.add_argument("--n-convs", type=int, default=int(os.environ.get("SCALING_N_CONVS", "12000")))
-    # default N=4 vs 4N=16: this host has 16 PHYSICAL cores (32 SMT
-    # threads); JVM throughput measurably degrades past 16 worker threads,
-    # so 8-vs-32 would measure SMT contention, not the engine's scaling
+    # default N=4 vs 4N=16: this host has 32 cores (1 thread/core,
+    # lscpu), but build throughput measurably degrades past 16 worker
+    # threads (each Arrow task pairs a Python worker with its JVM thread;
+    # BASELINE.md §9) — so 8-vs-32 would measure that contention, not the
+    # engine's scaling
     ap.add_argument("--levels", type=str, default="4,16")
     ap.add_argument("--rounds", type=int, default=3)
+    # Pin each worker's WHOLE process tree (JVM + Python workers) to its
+    # level's cores via taskset. local[N] alone only caps TASK slots —
+    # the JVM's shuffle/parquet/GC/codegen threads and every Python
+    # worker still spread over all host cores, so the small level runs
+    # on far more silicon than it claims and efficiency reads falsely
+    # low (measured: 4-vs-16 task-slots-only gave 0.46 because local[4]
+    # drew ~10 host cores). Pinning is what "a cluster of N cores"
+    # actually means on one box.
+    ap.add_argument("--pin", action="store_true", default=True)
+    ap.add_argument("--no-pin", dest="pin", action="store_false")
     args = ap.parse_args()
 
     if args.worker is not None:
         worker(args.worker, args.n_convs)
         return
 
+    import shutil as _shutil
+
     levels = [int(x) for x in args.levels.split(",")]
+    pin = args.pin and _shutil.which("taskset") is not None
     # the sandbox host's absolute throughput drifts by 2-3x over tens of
     # minutes; INTERLEAVE the levels across rounds and take each level's
     # best so both see comparable host conditions
     results: dict = {}
     for _ in range(args.rounds):
         for cpus in levels:
+            cmd = [sys.executable, os.path.abspath(__file__), "--worker",
+                   str(cpus), "--n-convs", str(args.n_convs)]
+            if pin:
+                cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
             out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--worker", str(cpus),
-                 "--n-convs", str(args.n_convs)],
+                cmd,
                 capture_output=True, text=True, timeout=3600,
             )
             got = None
@@ -120,6 +138,7 @@ def main() -> None:
         "unit": f"X({hi})/({ratio:g}*X({lo}))",
         "levels": results,
         "n_convs": args.n_convs,
+        "pinned_cores": pin,
     }
     print(json.dumps(report))
     with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:

@@ -461,20 +461,68 @@ def build_and_write_index(
             .parquet(f"{path}/doc_vectors")
         )
 
-    meta = spark.createDataFrame(
-        [
-            ("n_docs", str(n_docs)),
-            ("sum_dl", str(sum_dl)),
-            ("profile", profile),
-            ("key_cols", ",".join(key_cols)),
-            ("impacts_avgdl", repr(avgdl)),
-            ("bucket_bits", str(bucket_bits)),
-        ],
-        "key string, value string",
+    write_meta_file(
+        spark,
+        path,
+        {
+            "n_docs": str(n_docs),
+            "sum_dl": str(sum_dl),
+            "profile": profile,
+            "key_cols": ",".join(key_cols),
+            "impacts_avgdl": repr(avgdl),
+            "bucket_bits": str(bucket_bits),
+        },
     )
-    meta.write.mode("overwrite").parquet(f"{path}/index_meta")
     analyzed.unpersist()
     return read_index(spark, path)
+
+
+def write_meta_file(spark: SparkSession, path: str, meta: dict) -> None:
+    """Persist ``index_meta`` as ONE driver-written JSON control file via
+    the Hadoop FileSystem API (resolves local/HDFS/S3 paths exactly like
+    Spark's own readers). Metadata is a control-plane record: a
+    distributed job + parquet commit protocol for six key/value rows
+    costs ~2 s per build or segment append (BASELINE.md §9) and buys
+    nothing — Iceberg/Delta write their table metadata the same
+    driver-side way. Written to a temp name then renamed (atomic on
+    HDFS/local; best-effort on S3, where the meta file is still written
+    LAST so it acts as the commit record)."""
+    import json
+
+    jvm = spark._jvm
+    jconf = spark._jsc.hadoopConfiguration()
+    final = jvm.org.apache.hadoop.fs.Path(f"{path}/index_meta.json")
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{path}/index_meta.json.tmp")
+    fs = final.getFileSystem(jconf)
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(meta, sort_keys=True).encode("utf-8")))
+    finally:
+        out.close()
+    if fs.exists(final):
+        fs.delete(final, False)
+    if not fs.rename(tmp, final):
+        raise IOError(f"could not publish {path}/index_meta.json")
+
+
+def read_meta_file(spark: SparkSession, path: str) -> "dict | None":
+    """Read the JSON ``index_meta`` control file; None when absent (the
+    caller falls back to the legacy parquet ``index_meta`` directory so
+    indexes written before this format still load)."""
+    import json
+
+    jvm = spark._jvm
+    jconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/index_meta.json")
+    fs = p.getFileSystem(jconf)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+    finally:
+        stream.close()
+    return json.loads(bytes(data).decode("utf-8"))
 
 
 def write_index(
@@ -510,24 +558,26 @@ def write_index(
         from .block_postings import write_blocks
 
         write_blocks(index.postings_blocks, f"{path}/postings_blocks")
-    meta_rows = [
-        ("n_docs", str(index.n_docs)),
-        ("sum_dl", str(index.sum_dl)),
-        ("profile", index.profile),
-        ("key_cols", ",".join(index.key_cols)),
-    ]
+    meta = {
+        "n_docs": str(index.n_docs),
+        "sum_dl": str(index.sum_dl),
+        "profile": index.profile,
+        "key_cols": ",".join(index.key_cols),
+    }
     if index.impacts_avgdl is not None:
-        meta_rows.append(("impacts_avgdl", repr(float(index.impacts_avgdl))))
+        meta["impacts_avgdl"] = repr(float(index.impacts_avgdl))
     if index.bucket_bits is not None:
-        meta_rows.append(("bucket_bits", str(int(index.bucket_bits))))
-    meta = index.doc_stats.sparkSession.createDataFrame(
-        meta_rows, "key string, value string"
-    )
-    meta.write.mode("overwrite").parquet(f"{path}/index_meta")
+        meta["bucket_bits"] = str(int(index.bucket_bits))
+    write_meta_file(index.doc_stats.sparkSession, path, meta)
 
 
 def read_index(spark: SparkSession, path: str) -> InvertedIndex:
-    meta = {r["key"]: r["value"] for r in spark.read.parquet(f"{path}/index_meta").collect()}
+    meta = read_meta_file(spark, path)
+    if meta is None:  # legacy layout: parquet key/value directory
+        meta = {
+            r["key"]: r["value"]
+            for r in spark.read.parquet(f"{path}/index_meta").collect()
+        }
     try:  # optional component; works on any Hadoop-compatible filesystem
         blocks = spark.read.parquet(f"{path}/postings_blocks")
     except Exception:

@@ -48,7 +48,7 @@ from .block_postings import (
     DEFAULT_BUCKET_BITS,
     build_block_postings,
 )
-from .build import InvertedIndex, build_index
+from .build import InvertedIndex, build_index, write_meta_file
 
 MANIFEST_SCHEMA = (
     "segment_key string, segment_dir string, n_docs long, doc_id_offset long, "
@@ -497,18 +497,18 @@ def compact(
         F.count("*").alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("s")
     ).first()
     n_docs, sum_dl = int(stats["n"]), int(stats["s"])
-    meta = spark.createDataFrame(
-        [
-            ("n_docs", str(n_docs)),
-            ("sum_dl", str(sum_dl)),
-            ("profile", str(man["profile"].iloc[0])),
-            ("key_cols", ""),
-            ("impacts_avgdl", repr(impacts_avgdl)),
-            ("bucket_bits", str(bucket_bits)),
-        ],
-        "key string, value string",
+    write_meta_file(
+        spark,
+        out_dir,
+        {
+            "n_docs": str(n_docs),
+            "sum_dl": str(sum_dl),
+            "profile": str(man["profile"].iloc[0]),
+            "key_cols": "",
+            "impacts_avgdl": repr(impacts_avgdl),
+            "bucket_bits": str(bucket_bits),
+        },
     )
-    meta.write.mode("overwrite").parquet(f"{out_dir}/index_meta")
 
     # new manifest: single compacted row. The checksum stays the XOR of the
     # source-segment input checksums — lineage/provenance of what was

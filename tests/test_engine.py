@@ -1,6 +1,8 @@
 """End-to-end engine tests: build -> query rank-identity vs the pure-Python
 oracle; per-turn text equality invariant; docID stability (SURVEY §5.2)."""
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -171,3 +173,40 @@ def test_term_dfs_memoizes_per_handle(built):
     a = [(r["doc_id"], r["score"]) for r in bm25_topk(idx, "you one", k=5).collect()]
     b = [(r["doc_id"], r["score"]) for r in bm25_topk(idx, "you one", k=5).collect()]
     assert a == b
+
+
+def test_index_meta_json_control_file(spark, tmp_path):
+    """index_meta is ONE driver-written JSON control file (no Spark job,
+    no parquet commit protocol); read_index falls back to the legacy
+    parquet key/value directory for indexes written before the format."""
+    import shutil
+
+    from solr_sematic_importer_spark.operators.build import (
+        build_and_write_index,
+        read_index,
+    )
+    from solr_sematic_importer_spark.sources.transcripts import synthetic_transcripts
+
+    path = str(tmp_path / "jsonmeta")
+    t = synthetic_transcripts(spark, 5)
+    idx = build_and_write_index(t, path, profile="text_general")
+    assert os.path.isfile(f"{path}/index_meta.json")
+    assert not os.path.exists(f"{path}/index_meta")  # no parquet dir written
+    got = read_index(spark, path)
+    assert (got.n_docs, got.sum_dl, got.profile) == (
+        idx.n_docs, idx.sum_dl, "text_general")
+
+    # legacy layout: same key/values as a parquet dir, json absent
+    meta_rows = [
+        ("n_docs", str(idx.n_docs)), ("sum_dl", str(idx.sum_dl)),
+        ("profile", idx.profile), ("key_cols", ",".join(idx.key_cols)),
+        ("impacts_avgdl", repr(float(idx.impacts_avgdl))),
+        ("bucket_bits", str(int(idx.bucket_bits))),
+    ]
+    spark.createDataFrame(meta_rows, "key string, value string").write.parquet(
+        f"{path}/index_meta")
+    os.remove(f"{path}/index_meta.json")
+    legacy = read_index(spark, path)
+    assert (legacy.n_docs, legacy.sum_dl, legacy.profile) == (
+        idx.n_docs, idx.sum_dl, "text_general")
+    shutil.rmtree(path, ignore_errors=True)

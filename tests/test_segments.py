@@ -241,7 +241,9 @@ def test_segment_dirs_blocks_only(spark, snap_path):
     for d in man["segment_dir"]:
         names = set(os.listdir(d))
         assert "postings_flat" not in names, d
-        assert {"postings_blocks", "doc_stats", "term_stats", "index_meta"} <= names
+        assert {"postings_blocks", "doc_stats", "term_stats"} <= names
+        # meta is ONE driver-written JSON control file, not a parquet job
+        assert "index_meta.json" in names or "index_meta" in names
 
 
 def test_append_after_compact_with_deletes(spark, tmp_path):
