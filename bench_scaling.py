@@ -105,38 +105,47 @@ def main() -> None:
 
     levels = [int(x) for x in args.levels.split(",")]
     pin = args.pin and _shutil.which("taskset") is not None
-    # the sandbox host's absolute throughput drifts by 2-3x over tens of
-    # minutes; INTERLEAVE the levels across rounds and take each level's
-    # best so both see comparable host conditions
-    results: dict = {}
-    for _ in range(args.rounds):
-        for cpus in levels:
-            cmd = [sys.executable, os.path.abspath(__file__), "--worker",
-                   str(cpus), "--n-convs", str(args.n_convs)]
-            if pin:
-                cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
-            out = subprocess.run(
-                cmd,
-                capture_output=True, text=True, timeout=3600,
-            )
-            got = None
-            for line in out.stdout.splitlines():
-                if line.startswith("WORKER_RESULT "):
-                    got = json.loads(line[len("WORKER_RESULT "):])
-            if got is None:
-                sys.stderr.write(out.stdout[-2000:] + out.stderr[-2000:])
-                raise SystemExit(f"worker local[{cpus}] failed")
-            if cpus not in results or got["turns_per_sec"] > results[cpus]["turns_per_sec"]:
-                results[cpus] = got
+    # The sandbox host's absolute throughput drifts by 2-3x over tens of
+    # minutes. INTERLEAVE the levels within each round and compute the
+    # efficiency PER ROUND from its adjacent-in-time pair, then take the
+    # median across rounds — cross-window best-of-per-level mostly
+    # measures which level drew the cleaner host window (a best-of X(1)
+    # from a fast window against a best-of X(4) from a throttled one
+    # swung the recorded efficiency 0.60-0.95 on identical code; same
+    # lesson as the A/B build protocol, BASELINE.md §8).
+    def run_level(cpus: int) -> dict:
+        cmd = [sys.executable, os.path.abspath(__file__), "--worker",
+               str(cpus), "--n-convs", str(args.n_convs)]
+        if pin:
+            cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+        out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+        for line in out.stdout.splitlines():
+            if line.startswith("WORKER_RESULT "):
+                return json.loads(line[len("WORKER_RESULT "):])
+        sys.stderr.write(out.stdout[-2000:] + out.stderr[-2000:])
+        raise SystemExit(f"worker local[{cpus}] failed")
 
     lo, hi = min(levels), max(levels)
     ratio = hi / lo
-    eff = (results[hi]["turns_per_sec"] / results[lo]["turns_per_sec"]) / ratio
+    rounds = []
+    for _ in range(args.rounds):
+        sample = {cpus: run_level(cpus) for cpus in levels}
+        rounds.append({
+            "levels": sample,
+            "efficiency": round(
+                (sample[hi]["turns_per_sec"] / sample[lo]["turns_per_sec"])
+                / ratio, 3),
+        })
+    effs = sorted(r["efficiency"] for r in rounds)
+    median_eff = effs[len(effs) // 2] if len(effs) % 2 else round(
+        (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3)
+    best = rounds[max(range(len(rounds)), key=lambda i: rounds[i]["efficiency"])]
     report = {
         "metric": "scaling_efficiency",
-        "value": round(eff, 3),
-        "unit": f"X({hi})/({ratio:g}*X({lo}))",
-        "levels": results,
+        "value": median_eff,
+        "unit": f"median over rounds of X({hi})/({ratio:g}*X({lo})), adjacent pairs",
+        "levels": best["levels"],
+        "rounds": rounds,
         "n_convs": args.n_convs,
         "pinned_cores": pin,
     }
