@@ -261,6 +261,18 @@ def main() -> None:
         except Exception:
             pass  # the probe is context, never a bench failure
 
+    # embed the committed two-cluster-size scaling evidence so the
+    # driver-recorded BENCH json is self-contained (full analysis:
+    # BASELINE.md §10; protocol: bench_scaling.py adjacent-pair median,
+    # whole-process-tree pinned)
+    try:
+        with open(os.path.join(REPO, "BENCH_SCALING.json")) as f:
+            sc = json.load(f)
+        extra["scaling_efficiency"] = sc["value"]
+        extra["scaling_unit"] = sc["unit"]
+    except Exception:
+        pass
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
