@@ -536,6 +536,21 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_near_dup_components(spark, sf_dir):
+    """Pairs -> clusters -> canonical doc per cluster: the 'keep one per
+    dup cluster' step over the ngram-Jaccard candidate pairs. Oracle:
+    the same pair SQL + a recursive min-reachable-id CTE."""
+    from solr_sematic_importer_spark.operators.dedup import (
+        near_dup_canonical,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _docs_with_dups(spark, sf_dir)
+    filt = (F.col("doc_id") < 40) | (F.col("doc_id") >= 1_000_000)
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.05, id_filter=filt)
+    return near_dup_canonical(docs.filter(filt), pairs)
+
+
 def q_truncate(spark, sf_dir):
     # P6 truncate (InlineDocumentListener.java:93-99)
     from solr_sematic_importer_spark.operators.enrich import truncate_field
@@ -1279,6 +1294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_conditional": q_mm_conditional,
         "select_combined": q_select_combined,
         "select_combined_facet": q_select_combined_facet,
+        "near_dup_components": q_near_dup_components,
         "fuzzy_query": q_fuzzy_query,
         "bm25_boost_function": q_bm25_boost_function,
         # -- r3-green, kept inside the window --
@@ -1310,8 +1326,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orphan_anti_join": q_orphan_anti_join,
         "window_first_event": q_window_first_event,
         "content_hash_groups": q_content_hash_groups,
-        "fingerprint": q_fingerprint,
         # ---------------- window boundary (50 oracle entries above) -----
+        "fingerprint": q_fingerprint,  # r3-green, rotated out this round
         # -- long-green bm25/facet basics, outside the driver window this
         #    round (r1-r3 green; still checked by the local contract gate)
         "tf_per_doc_term": q_tf,
@@ -2237,6 +2253,52 @@ FROM ranked WHERE rn = 1 ORDER BY m DESC, parent_id ASC LIMIT 10""",
             JOIN sz sa ON sa.doc_id = doc_a
             JOIN sz sb ON sb.doc_id = doc_b
             WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.05""",
+        # same pair derivation as ngram_jaccard, then clusters as the min
+        # id reachable through the undirected pair graph (recursive CTE =
+        # the SQL mirror of connected_components' min-label propagation);
+        # unpaired docs map to themselves
+        "near_dup_components": """
+            WITH RECURSIVE docs2 AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 20
+            ),
+            toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS ts
+                FROM docs2 WHERE doc_id < 40 OR doc_id >= 1000000
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(ts[i : i + 2], ' ') AS shingle
+                FROM toks,
+                     unnest(generate_series(1, greatest(len(ts) - 2, 1))) AS g(i)
+            ),
+            sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS i
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            ),
+            pairs AS (
+                SELECT doc_a, doc_b FROM inter
+                JOIN sz sa ON sa.doc_id = doc_a
+                JOIN sz sb ON sb.doc_id = doc_b
+                WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.05
+            ),
+            e AS (
+                SELECT doc_a AS u, doc_b AS v FROM pairs
+                UNION
+                SELECT doc_b AS u, doc_a AS v FROM pairs
+            ),
+            reach(node, r) AS (
+                SELECT doc_id, doc_id FROM toks
+                UNION
+                SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.node
+            )
+            SELECT node AS doc_id, min(r)::BIGINT AS canonical
+            FROM reach GROUP BY node""",
         "bpe_token_count": _bpe_count_oracle(),
         "embedding_near_dup": """
             WITH eb AS (

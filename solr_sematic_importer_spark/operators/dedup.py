@@ -14,6 +14,10 @@ near-dup machinery. All operators below are DataFrame-first:
                             shingle equi-join (for verification / small n)
 * simhash                 — 64-bit simhash from the tf table (Arrow UDF,
                             numpy bit ops; hamming-band grouping)
+* connected_components    — candidate PAIRS -> duplicate CLUSTERS via
+                            iterative min-label propagation (joins only)
+* near_dup_canonical      — every doc -> the min doc id of its cluster
+                            ("keep one per dup cluster" in one filter)
 
 Scale notes: every op shuffles on a content-derived key (hash, shingle,
 band bucket), so skew comes only from pathological repeated content —
@@ -362,4 +366,103 @@ def simhash_hamming_pairs(
         )
         .distinct()
         .filter(F.col("hamming") <= max_distance)
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Turn near-dup candidate PAIRS into duplicate CLUSTERS:
+    (node, component) where component is the MINIMUM node id reachable
+    through the undirected pair graph — deterministic canonical labels.
+
+    DataFrame-only min-label propagation: each iteration every node takes
+    the min of its own label and its neighbors' labels (one equi-join on
+    the symmetric edge list + one groupBy-min, both shuffling on node id),
+    stopping when an iteration changes nothing. Iterations needed =
+    graph diameter; near-dup clusters are near-cliques (every member
+    pairs with most others), so real corpora converge in 2-3 rounds —
+    max_iterations only bounds pathological chains, and non-convergence
+    RAISES rather than returning partially-merged clusters (silently
+    splitting a dup cluster means shipping duplicates). Each round
+    materializes its label table and unpersists the previous one, so
+    lineage stays one round deep at any scale."""
+    edges = (
+        pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .unionByName(
+            pairs.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select("u").distinct()
+        .select(F.col("u").alias("node"), F.col("u").alias("comp"))
+        .persist()
+    )
+    labels.count()
+    try:
+        for _ in range(max_iterations):
+            neighbor = (
+                edges.join(
+                    labels.select(
+                        F.col("node").alias("v"), F.col("comp").alias("nc")
+                    ),
+                    "v",
+                )
+                .select(F.col("u").alias("node"), F.col("nc").alias("comp"))
+            )
+            new_labels = (
+                labels.unionByName(neighbor)
+                .groupBy("node")
+                .agg(F.min("comp").alias("comp"))
+                .persist()
+            )
+            changed = (
+                new_labels.join(
+                    labels.select("node", F.col("comp").alias("comp_old")),
+                    "node",
+                )
+                .filter(F.col("comp") != F.col("comp_old"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                return labels
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations (graph diameter exceeds the bound); raise "
+            "max_iterations — a partial result would split dup clusters"
+        )
+    finally:
+        edges.unpersist()
+
+
+def near_dup_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(id, canonical): every row of ``df`` mapped to the min id of its
+    near-dup cluster; rows in no pair map to themselves. The
+    training-data dedup step is then ONE filter:
+    ``keep = out.filter(col(id) == col("canonical"))`` — deterministic
+    (min id survives), no per-cluster collect, one broadcast-sized join
+    when the paired set is small relative to the corpus (it is: pairs
+    come from an LSH/shingle candidate stage that already pruned)."""
+    comp = connected_components(pairs, src_col, dst_col, max_iterations)
+    return (
+        df.select(F.col(id_col))
+        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("comp"), F.col(id_col)).alias("canonical"),
+        )
     )

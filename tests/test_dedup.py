@@ -177,3 +177,55 @@ def test_lsh_dropped_buckets_are_surfaced(spark):
     # and with a permissive cap the pairs come back
     pairs2 = lsh_candidate_pairs(sig, bands=16, max_bucket=1000)
     assert pairs2.count() == 30 * 29 // 2
+
+
+def test_connected_components_merges_chains(spark):
+    """A chain (1-2, 2-3) and a separate pair (10-11): min-label
+    propagation must close the chain into one cluster labeled by its
+    min id, and leave the other cluster untouched."""
+    from solr_sematic_importer_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {r["node"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    from solr_sematic_importer_spark.operators.dedup import connected_components
+
+    # a 6-chain has diameter 5: one iteration cannot close it
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iterations=1)
+    got = {r["node"]: r["comp"] for r in connected_components(chain).collect()}
+    assert set(got.values()) == {0}
+
+
+def test_near_dup_canonical_keep_one_per_cluster(spark, docs):
+    """End-to-end 'keep one per dup cluster': pairs from exact Jaccard,
+    clusters via components, canonical = min id; unpaired docs keep
+    themselves; filtering on doc_id == canonical drops exactly the
+    non-minimal members."""
+    from solr_sematic_importer_spark.operators.dedup import (
+        near_dup_canonical,
+        ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(docs, threshold=0.4)
+    out = near_dup_canonical(docs, pairs)
+    rows = {r["doc_id"]: r["canonical"] for r in out.collect()}
+    assert set(rows) == {r["doc_id"] for r in docs.select("doc_id").collect()}
+    pair_rows = [(r["doc_a"], r["doc_b"]) for r in pairs.collect()]
+    assert pair_rows, "fixture must contain near-dups"
+    for a, b in pair_rows:
+        assert rows[a] == rows[b] and rows[a] <= min(a, b)
+    paired = {d for p in pair_rows for d in p}
+    for d, c in rows.items():
+        if d not in paired:
+            assert c == d
+    kept = {r["doc_id"] for r in out.filter(F.col("doc_id") == F.col("canonical")).collect()}
+    assert kept == {c for c in rows.values()}
