@@ -505,6 +505,36 @@ def write_meta_file(spark: SparkSession, path: str, meta: dict) -> None:
         raise IOError(f"could not publish {path}/index_meta.json")
 
 
+def hadoop_delete(spark: SparkSession, path: str) -> bool:
+    """Recursively delete a path through the Hadoop FileSystem API — the
+    same resolver Spark's readers use, so it works on local/HDFS/S3 URIs
+    alike (a ``shutil.rmtree`` here would silently no-op on any non-local
+    scheme and leave stale state behind). Returns True when something was
+    deleted, False when the path did not exist."""
+    jvm = spark._jvm
+    jconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(jconf)
+    if not fs.exists(p):
+        return False
+    return bool(fs.delete(p, True))
+
+
+def hadoop_list_dirs(spark: SparkSession, path: str) -> "list[str]":
+    """Names of the immediate sub-directories of ``path`` via the Hadoop
+    FileSystem API (empty when the path does not exist); the portable
+    replacement for ``os.listdir`` on index paths."""
+    jvm = spark._jvm
+    jconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(jconf)
+    if not fs.exists(p):
+        return []
+    return sorted(
+        st.getPath().getName() for st in fs.listStatus(p) if st.isDirectory()
+    )
+
+
 def read_meta_file(spark: SparkSession, path: str) -> "dict | None":
     """Read the JSON ``index_meta`` control file; None when absent (the
     caller falls back to the legacy parquet ``index_meta`` directory so

@@ -374,6 +374,7 @@ def connected_components(
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
     max_iterations: int = 20,
+    checkpoint_dir: "str | None" = None,
 ) -> DataFrame:
     """Turn near-dup candidate PAIRS into duplicate CLUSTERS:
     (node, component) where component is the MINIMUM node id reachable
@@ -389,7 +390,18 @@ def connected_components(
     RAISES rather than returning partially-merged clusters (silently
     splitting a dup cluster means shipping duplicates). Each round
     materializes its label table and unpersists the previous one, so
-    lineage stays one round deep at any scale."""
+    lineage stays one round deep at any scale.
+
+    Storage contract: without ``checkpoint_dir`` the returned labels ride
+    the loop's final ``persist()`` — the caller MUST ``.unpersist()`` the
+    returned frame once the derived result is materialized (mirroring
+    ``InvertedIndex.release()``), or every invocation pins a cached table
+    for the session lifetime. Pass ``checkpoint_dir`` (any Hadoop-visible
+    path) to detach instead: the converged labels are written there as
+    parquet and read back, the cache is released INSIDE this function,
+    and the returned frame is a plain scan with no storage footprint —
+    the right shape for streaming / micro-batch callers (GraphFrames uses
+    the same checkpoint pattern for its iterative algorithms)."""
     edges = (
         pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .unionByName(
@@ -432,7 +444,13 @@ def connected_components(
             labels.unpersist()
             labels = new_labels
             if changed == 0:
+                if checkpoint_dir is not None:
+                    out_path = checkpoint_dir.rstrip("/") + "/cc_labels"
+                    labels.write.mode("overwrite").parquet(out_path)
+                    labels.unpersist()
+                    return labels.sparkSession.read.parquet(out_path)
                 return labels
+        labels.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "
             "iterations (graph diameter exceeds the bound); raise "
@@ -449,6 +467,7 @@ def near_dup_canonical(
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
     max_iterations: int = 20,
+    checkpoint_dir: "str | None" = None,
 ) -> DataFrame:
     """(id, canonical): every row of ``df`` mapped to the min id of its
     near-dup cluster; rows in no pair map to themselves. The
@@ -456,8 +475,17 @@ def near_dup_canonical(
     ``keep = out.filter(col(id) == col("canonical"))`` — deterministic
     (min id survives), no per-cluster collect, one broadcast-sized join
     when the paired set is small relative to the corpus (it is: pairs
-    come from an LSH/shingle candidate stage that already pruned)."""
-    comp = connected_components(pairs, src_col, dst_col, max_iterations)
+    come from an LSH/shingle candidate stage that already pruned).
+
+    Storage contract (same as :func:`connected_components`): without
+    ``checkpoint_dir`` the result's lineage keeps the converged label
+    table persisted — one-shot batch callers can ignore it (the cache
+    dies with the session); repeated / micro-batch callers must pass
+    ``checkpoint_dir`` so the labels detach through a parquet round-trip
+    and nothing stays pinned in storage memory."""
+    comp = connected_components(
+        pairs, src_col, dst_col, max_iterations, checkpoint_dir=checkpoint_dir
+    )
     return (
         df.select(F.col(id_col))
         .join(comp.withColumnRenamed("node", id_col), id_col, "left")

@@ -48,7 +48,13 @@ from .block_postings import (
     DEFAULT_BUCKET_BITS,
     build_block_postings,
 )
-from .build import InvertedIndex, build_index, write_meta_file
+from .build import (
+    InvertedIndex,
+    build_index,
+    hadoop_delete,
+    hadoop_list_dirs,
+    write_meta_file,
+)
 
 MANIFEST_SCHEMA = (
     "segment_key string, segment_dir string, n_docs long, doc_id_offset long, "
@@ -529,10 +535,11 @@ def compact(
     ).parquet(_manifest_path(path))
     overlap.unpersist()
     if deletes is not None:
-        # applied physically -> clear the vector (Lucene drops .liv on merge)
-        import shutil
-
-        shutil.rmtree(_deletes_path(path), ignore_errors=True)
+        # applied physically -> clear the vector (Lucene drops .liv on
+        # merge) — through the Hadoop FS API so HDFS/S3 index paths clear
+        # too (a local rmtree would no-op there and maybe_compact's
+        # deletes-pending trigger would re-fire forever)
+        hadoop_delete(spark, _deletes_path(path))
     return out_dir
 
 
@@ -580,19 +587,16 @@ def gc_segments(spark: SparkSession, path: str) -> list[str]:
     (compact leaves the source segments on disk as orphans — the
     reference's disabled orphan delete, ``SolrSemanticIndexer.java:113``,
     made explicit). Returns the removed paths. On Iceberg this is snapshot
-    expiration; here it is a local-filesystem sweep."""
-    import os
-    import shutil
-
+    expiration; here it is a Hadoop-FileSystem sweep so HDFS/S3 index
+    paths garbage-collect the same as local ones."""
     man = read_manifest(spark, path)
-    live = {os.path.basename(d.rstrip("/")) for d in man["segment_dir"]}
-    seg_root = os.path.join(path, "segments")
+    live = {d.rstrip("/").rsplit("/", 1)[-1] for d in man["segment_dir"]}
+    seg_root = f"{path}/segments"
     removed = []
-    if os.path.isdir(seg_root):
-        for name in sorted(os.listdir(seg_root)):
-            if name not in live:
-                shutil.rmtree(os.path.join(seg_root, name), ignore_errors=True)
-                removed.append(os.path.join(seg_root, name))
+    for name in hadoop_list_dirs(spark, seg_root):
+        if name not in live:
+            hadoop_delete(spark, f"{seg_root}/{name}")
+            removed.append(f"{seg_root}/{name}")
     return removed
 
 

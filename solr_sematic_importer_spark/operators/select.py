@@ -4,10 +4,11 @@ The reference delegates every query to the destination collection's
 ``/select`` handler (``semantic_base_config.zip -> solrconfig.xml:650-680``:
 ``q`` with ``df=_text_`` OR semantics, ``fq``, ``sort``, ``start``/``rows``/
 ``cursorMark``, ``mm``, ``boost``, ``rq={!rerank}``, ``fq={!collapse}``,
-``elevateIds``, ``facet.field``, ``debugQuery``). The round-3 engine
-implemented each of those as a standalone operator; this module composes
-them into ONE request-shaped call so a user of the reference can issue the
-same combined requests they issue today.
+``elevateIds``, ``facet.field``/``facet.range``/``facet.pivot``/
+``json.facet``, ``debugQuery``). The round-3 engine implemented each of
+those as a standalone operator; this module composes them into ONE
+request-shaped call so a user of the reference can issue the same combined
+requests they issue today.
 
 Composition order follows Solr's own execution:
 
@@ -15,15 +16,24 @@ Composition order follows Solr's own execution:
    prohibited terms applied pre-ranking;
 2. ``boost=`` (edismax multiplicative) / ``bf=`` (additive) over stored
    fields — LEFT join, identity default for missing/null fields;
-3. ``rq={!rerank}``: top-``reRankDocs`` get ``weight * score(rerankQuery)``
-   added, the tail keeps its first-pass score, everything re-sorts;
-4. ``fq={!collapse field=X}``: one window per collapse key, survivors only
-   (the collapse is a filter, so facets see the collapsed set — Solr
-   CollapsingQParser semantics);
-5. facets: per-field counts over the FINAL match set (not the page);
-6. elevation: pinned editorial head in configured order, organic tail;
+3. ``fq={!collapse field=X}``: one window per collapse key, survivors only.
+   Collapse is an fq **PostFilter** in Solr, applied at collection time,
+   so it shapes the match set BEFORE rerank sees it and facets count the
+   collapsed set (CollapsingQParser semantics);
+4. ``rq={!rerank}``: the top-``reRankDocs`` of the (collapsed) ranking get
+   ``weight * score(rerankQuery)`` added, the tail keeps its first-pass
+   score, everything re-sorts;
+5. facets — ``facet.field`` counts, ``facet.range`` bucketed counts,
+   ``facet.pivot`` nested counts, ``json.facet`` terms+stats — all over
+   the FINAL match set (not the page), sharing ONE semi-joined
+   stored-field frame so adding facet flavors adds no extra join;
+6. elevation: pinned editorial head in configured order (``fq``/
+   ``exclude`` still apply — elevation never resurrects a filtered doc,
+   Solr QueryElevationComponent semantics), organic tail with DENSE ranks
+   continuing exactly where the surviving pinned block ends;
 7. sort (score desc/doc_id asc default, or a stored field) and paging
-   (``start``/``rows`` offset or ``cursorMark`` keyset).
+   (``start``/``rows`` offset or ``cursorMark`` keyset following the
+   ACTIVE sort).
 
 Spark shape (100 TB): every stage reuses the operator it composes — the
 scoring agg's pushed ``In(term)`` scan filter and broadcast weight join,
@@ -42,7 +52,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from ..functions.similarity import B_DEFAULT, K1_DEFAULT
 from .build import InvertedIndex
 from .highlight import highlight as _highlight
-from .score import score_or_docs, score_partials
+from .score import analyze_query, score_or_docs, score_partials
 
 
 @dataclass
@@ -50,7 +60,7 @@ class SelectResponse:
     """The response sections of a ``/select`` request."""
 
     docs: DataFrame                 # the page: doc_id, score (+ extras)
-    facets: dict = dc_field(default_factory=dict)   # field -> (value, cnt) DF
+    facets: dict = dc_field(default_factory=dict)   # name -> facet DF
     num_found: "int | None" = None  # total match count (opt-in, extra job)
     highlighting: "DataFrame | None" = None  # hl section: doc_id, snippet
     explain: "DataFrame | None" = None       # debugQuery: per-term partials
@@ -71,11 +81,14 @@ def select(
     collapse_field: "str | None" = None,
     elevate_ids: "Sequence[int] | None" = None,
     facet_fields: Sequence[str] = (),
+    facet_ranges: "dict[str, Column] | None" = None,
+    facet_pivots: Sequence[Sequence[str]] = (),
+    json_facet: "tuple[str, Sequence[tuple[str, object]]] | None" = None,
     sort_field: "str | None" = None,
     sort_ascending: bool = True,
     start: int = 0,
     rows: int = 10,
-    cursor_mark: "tuple[float, int] | None" = None,
+    cursor_mark: "tuple | None" = None,
     with_num_found: bool = False,
     hl_source: "DataFrame | None" = None,
     hl_frag_size: int = 100,
@@ -90,13 +103,28 @@ def select(
     handler's: ``q``/``mm``/``fq`` (a Column predicate over doc_stats)/
     ``exclude`` (prohibited terms) shape the match set; ``boost`` (a
     Column over ``fields``) reshapes scores; ``rerank_query`` re-scores
-    the head; ``collapse_field``/``facet_fields`` read ``fields``;
+    the head; ``collapse_field``/facet params read ``fields``;
     ``elevate_ids`` pins the editorial head; ``sort_field``/``start``/
     ``rows``/``cursor_mark`` shape the page.
 
     ``fields`` is the stored-field table (doc_id + whatever boost/
     collapse/facet/sort read). Returns :class:`SelectResponse` whose
     ``docs`` page is (doc_id[, collapse_field][, elevated, rank], score).
+
+    Facets (all counted over the final post-fq, post-collapse match set):
+    ``facet_fields`` — per-value counts, one response key per field;
+    ``facet_ranges`` — ``{name: bucket Column over fields}`` (Solr
+    facet.range: the caller expresses start/gap as the bucket expression,
+    e.g. ``F.date_trunc("day", col)``), response key = name, columns
+    (name, cnt); ``facet_pivots`` — each a tuple of field names (Solr
+    facet.pivot=a,b), response key = "a,b", nested counts; ``json_facet``
+    — ``(field, aggs)`` with the :func:`json_facet_stats` agg shape,
+    response key = "json:<field>", buckets ordered count desc.
+
+    ``cursor_mark`` follows the ACTIVE sort (Solr cursorMark is a keyset
+    over the current sort spec): ``(last_score, last_doc_id)`` under the
+    default score ranking, ``(last_sort_value, last_doc_id)`` when
+    ``sort_field`` is given.
 
     ``hl_source`` (``hl=true&hl.fl=text``): a (doc_id, text) table — the
     response gains a ``highlighting`` section with one snippet per PAGE
@@ -110,7 +138,8 @@ def select(
     spark = index.postings_flat.sparkSession
     if cursor_mark is not None and (start or elevate_ids):
         raise ValueError("cursorMark cannot combine with start or elevation (Solr 400)")
-    needs_fields = boost is not None or collapse_field or facet_fields or sort_field
+    any_facet = bool(facet_fields or facet_ranges or facet_pivots or json_facet)
+    needs_fields = boost is not None or collapse_field or any_facet or sort_field
     if needs_fields and fields is None:
         raise ValueError("boost/collapse/facet/sort require the stored-field table")
 
@@ -139,6 +168,24 @@ def select(
         return SelectResponse(docs=page, facets=facets, num_found=num_found,
                               highlighting=hl_df, explain=explain_df)
 
+    def _empty_facets() -> dict:
+        out = {
+            f: spark.createDataFrame([], f"{f} string, cnt long")
+            for f in facet_fields
+        }
+        for name in (facet_ranges or {}):
+            out[name] = spark.createDataFrame([], f"{name} string, cnt long")
+        for pivot in facet_pivots:
+            cols = ", ".join(f"{p} string" for p in pivot)
+            out[",".join(pivot)] = spark.createDataFrame([], f"{cols}, cnt long")
+        if json_facet is not None:
+            jf_field, jf_aggs = json_facet
+            cols = ", ".join(f"{name} double" for name, _ in jf_aggs)
+            out[f"json:{jf_field}"] = spark.createDataFrame(
+                [], f"{jf_field} string, count long" + (", " + cols if cols else "")
+            )
+        return out
+
     per_doc = score_or_docs(
         index, q, k1=k1, b=b, quantize=quantize,
         extra_filter=fq, exclude=exclude, min_match=mm,
@@ -150,11 +197,7 @@ def select(
                 f"{collapse_field} string, " if collapse_field else ""
             ) + "score double"
         )
-        facets = {
-            f: spark.createDataFrame([], f"{f} string, cnt long")
-            for f in facet_fields
-        }
-        return _finish(empty_docs, facets, 0 if with_num_found else None)
+        return _finish(empty_docs, _empty_facets(), 0 if with_num_found else None)
 
     # 2. boost (same LEFT-join + identity-default shape as bm25_boosted_topk)
     if boost is not None:
@@ -170,32 +213,8 @@ def select(
         )
         per_doc = per_doc.select("doc_id", op.alias("score"))
 
-    # 3. rerank: head adjusted, tail keeps first-pass score, all re-sort
-    if rerank_query is not None:
-        head = (
-            per_doc.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-            .limit(rerank_docs)
-        )
-        rr = score_or_docs(index, rerank_query, k1=k1, b=b, quantize=quantize)
-        if rr is not None:
-            adjusted = (
-                F.broadcast(head)
-                .join(rr.withColumnRenamed("score", "_rr"), "doc_id", "left")
-                .select(
-                    "doc_id",
-                    (
-                        F.col("score")
-                        + F.lit(float(rerank_weight))
-                        * F.coalesce(F.col("_rr"), F.lit(0.0))
-                    ).alias("score"),
-                )
-            )
-            tail = per_doc.join(
-                F.broadcast(head.select("doc_id")), "doc_id", "left_anti"
-            )
-            per_doc = adjusted.unionByName(tail)
-
-    # 4. collapse: one window on the collapse key over the match set
+    # 3. collapse FIRST: {!collapse} is an fq PostFilter applied at
+    #    collection time, so rq reranks the post-collapse survivors
     if collapse_field:
         from pyspark.sql.window import Window
 
@@ -209,23 +228,94 @@ def select(
             .drop("_rn")
         )
 
-    # 5. facets over the final (post-fq, post-collapse) match set
-    facets = {}
-    for f in facet_fields:
-        facets[f] = (
-            fields.select("doc_id", f)
-            .join(per_doc.select("doc_id"), "doc_id", "left_semi")
-            .groupBy(f)
-            .agg(F.count("*").alias("cnt"))
+    # 4. rerank: head of the (collapsed) ranking adjusted, tail keeps its
+    #    first-pass score, all re-sort. Carries collapse_field through.
+    if rerank_query is not None:
+        keep_cols = [c for c in per_doc.columns if c != "score"]
+        head = (
+            per_doc.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(rerank_docs)
         )
+        rr = score_or_docs(index, rerank_query, k1=k1, b=b, quantize=quantize)
+        if rr is not None:
+            adjusted = (
+                F.broadcast(head)
+                .join(rr.withColumnRenamed("score", "_rr"), "doc_id", "left")
+                .select(
+                    *keep_cols,
+                    (
+                        F.col("score")
+                        + F.lit(float(rerank_weight))
+                        * F.coalesce(F.col("_rr"), F.lit(0.0))
+                    ).alias("score"),
+                )
+            )
+            tail = per_doc.join(
+                F.broadcast(head.select("doc_id")), "doc_id", "left_anti"
+            )
+            per_doc = adjusted.unionByName(tail.select(*keep_cols, "score"))
+
+    # 5. facets over the final (post-fq, post-collapse) match set — every
+    #    flavor shares ONE semi-joined stored-field frame
+    facets: dict = {}
+    if any_facet:
+        matched_fields = fields.join(
+            per_doc.select("doc_id"), "doc_id", "left_semi"
+        )
+        for f in facet_fields:
+            facets[f] = matched_fields.groupBy(f).agg(F.count("*").alias("cnt"))
+        for name, bucket in (facet_ranges or {}).items():
+            facets[name] = (
+                matched_fields.select(bucket.alias(name))
+                .groupBy(name)
+                .agg(F.count("*").alias("cnt"))
+            )
+        for pivot in facet_pivots:
+            facets[",".join(pivot)] = (
+                matched_fields.groupBy(*pivot).agg(F.count("*").alias("cnt"))
+            )
+        if json_facet is not None:
+            jf_field, jf_aggs = json_facet
+            agg_cols = [fn(F.col).alias(name) for name, fn in jf_aggs]
+            facets[f"json:{jf_field}"] = (
+                matched_fields.groupBy(jf_field)
+                .agg(F.count("*").alias("count"), *agg_cols)
+                .orderBy(F.col("count").desc(), F.col(jf_field).asc())
+            )
 
     num_found = int(per_doc.count()) if with_num_found else None
 
-    # 6. elevation: pinned head (configured order, real scores) + organic
+    # 6. elevation: pinned head (configured order, real scores) + organic.
+    #    fq / exclude / deletes still apply to pinned docs — Solr's
+    #    QueryElevationComponent forces docs onto the page even when they
+    #    don't match q, but never past a filter query.
     if elevate_ids:
         elev = spark.createDataFrame(
             [(int(d), i) for i, d in enumerate(elevate_ids)], "doc_id long, pos int"
         )
+        filtered = fq is not None or bool(exclude) or index.deletes is not None
+        if fq is not None:
+            elev = elev.join(
+                index.doc_stats.filter(fq).select("doc_id"), "doc_id", "left_semi"
+            )
+        if exclude:
+            neg_terms = analyze_query(exclude, index.profile)
+            if neg_terms:
+                elev = elev.join(
+                    index.flat_terms(neg_terms).select("doc_id"),
+                    "doc_id", "left_anti",
+                )
+        if index.deletes is not None:
+            elev = elev.join(
+                index.deletes.select("doc_id"), "doc_id", "left_anti"
+            )
+        n_pinned = int(elev.count()) if filtered else len(elevate_ids)
+
+        from pyspark.sql.window import Window
+
+        # Ranks are DENSE: pinned 0..n_pinned-1 (survivor order), organic
+        # continues at exactly n_pinned, so filter(rank >= start) is an
+        # exact offset slice.
         pinned = (
             F.broadcast(elev)
             .join(per_doc, "doc_id", "left")
@@ -234,11 +324,10 @@ def select(
                 *( [collapse_field] if collapse_field else [] ),
                 F.coalesce(F.col("score"), F.lit(0.0)).alias("score"),
                 F.lit(True).alias("elevated"),
-                F.col("pos").cast("long").alias("rank"),
+                (F.row_number().over(Window.orderBy("pos")) - 1)
+                .cast("long").alias("rank"),
             )
         )
-        from pyspark.sql.window import Window
-
         organic = (
             per_doc.join(F.broadcast(elev.select("doc_id")), "doc_id", "left_anti")
             .orderBy(F.col("score").desc(), F.col("doc_id").asc())
@@ -249,17 +338,18 @@ def select(
                 "score",
                 F.lit(False).alias("elevated"),
                 (
-                    F.lit(len(elevate_ids))
+                    F.lit(n_pinned)
                     + F.row_number().over(
                         Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
                     )
+                    - F.lit(1)
                 ).cast("long").alias("rank"),
             )
         )
-        page = pinned.unionByName(organic).orderBy("rank")
+        page = pinned.unionByName(organic)
         if start:
-            page = page.filter(F.col("rank") >= start).orderBy("rank")
-        return _finish(page.limit(rows), facets, num_found)
+            page = page.filter(F.col("rank") >= start)
+        return _finish(page.orderBy("rank").limit(rows), facets, num_found)
 
     # 7. sort + paging
     if sort_field:
@@ -273,11 +363,20 @@ def select(
         order = [F.col("score").desc(), F.col("doc_id").asc()]
 
     if cursor_mark is not None:
-        last_score, last_doc = float(cursor_mark[0]), int(cursor_mark[1])
-        per_doc = per_doc.filter(
-            (F.col("score") < last_score)
-            | ((F.col("score") == last_score) & (F.col("doc_id") > last_doc))
-        )
+        # keyset over the ACTIVE sort spec (Solr cursorMark semantics)
+        last_key, last_doc = cursor_mark[0], int(cursor_mark[1])
+        if sort_field:
+            sk = F.col(sort_field)
+            ahead = sk > F.lit(last_key) if sort_ascending else sk < F.lit(last_key)
+            per_doc = per_doc.filter(
+                ahead | ((sk == F.lit(last_key)) & (F.col("doc_id") > last_doc))
+            )
+        else:
+            last_score = float(last_key)
+            per_doc = per_doc.filter(
+                (F.col("score") < last_score)
+                | ((F.col("score") == last_score) & (F.col("doc_id") > last_doc))
+            )
         page = per_doc.orderBy(*order).limit(rows)
     elif start:
         top = per_doc.orderBy(*order).limit(start + rows)

@@ -236,3 +236,129 @@ def test_select_no_match_is_empty_but_shaped(idx, fields):
                facet_fields=("grp",), with_num_found=True)
     assert r.docs.count() == 0 and r.num_found == 0
     assert r.facets["grp"].count() == 0
+
+
+def test_select_elevation_with_start_is_exact_offset(idx):
+    """ADVICE r4 (medium): ranks must be DENSE across the pinned/organic
+    boundary so elevation + start slices exactly — page [start:start+rows]
+    of the full elevated ranking, no skipped or duplicated doc."""
+    full = select(idx, Q, rows=25).docs.collect()
+    pin = [full[2]["doc_id"], full[0]["doc_id"]]
+    whole = select(idx, Q, elevate_ids=pin, rows=25).docs.collect()
+    # the full elevated ranking itself is dense from 0
+    assert [x["rank"] for x in whole] == list(range(len(whole)))
+    for start in (1, len(pin), len(pin) + 1, 7):
+        page = select(idx, Q, elevate_ids=pin, start=start, rows=5).docs.collect()
+        assert [x["doc_id"] for x in page] == [
+            x["doc_id"] for x in whole[start : start + 5]
+        ]
+
+
+def test_select_elevation_respects_fq_and_exclude(idx):
+    """ADVICE r4: elevation never resurrects a doc removed by fq or a
+    prohibited term (Solr QueryElevationComponent still applies filter
+    queries to elevated docs); organic ranks stay dense after the pinned
+    survivor block."""
+    full = select(idx, Q, rows=10).docs.collect()
+    even = next(x["doc_id"] for x in full if x["doc_id"] % 2 == 0)
+    odd = next(x["doc_id"] for x in full if x["doc_id"] % 2 == 1)
+    fqp = F.col("doc_id") % 2 == 0
+    r = select(idx, Q, fq=fqp, elevate_ids=[odd, even], rows=10)
+    rows = r.docs.collect()
+    ids = [x["doc_id"] for x in rows]
+    assert odd not in ids                      # fq filtered the pinned doc
+    assert ids[0] == even and rows[0]["elevated"]
+    assert [x["rank"] for x in rows] == list(range(len(rows)))  # dense
+    assert all(d % 2 == 0 for d in ids)
+
+
+def test_select_cursor_follows_field_sort(idx, fields):
+    """ADVICE r4: cursorMark is a keyset over the ACTIVE sort — paging
+    under sort_field must walk the field order without overlap/gaps."""
+    full = select(idx, Q, fields=fields, sort_field="n_chars", rows=10).docs.collect()
+    p1 = select(idx, Q, fields=fields, sort_field="n_chars", rows=5).docs.collect()
+    cur = (p1[-1]["n_chars"], p1[-1]["doc_id"])
+    p2 = select(idx, Q, fields=fields, sort_field="n_chars", rows=5,
+                cursor_mark=cur).docs.collect()
+    assert [x["doc_id"] for x in p1 + p2] == [x["doc_id"] for x in full]
+    # descending too
+    fulld = select(idx, Q, fields=fields, sort_field="n_chars",
+                   sort_ascending=False, rows=10).docs.collect()
+    p1d = select(idx, Q, fields=fields, sort_field="n_chars",
+                 sort_ascending=False, rows=5).docs.collect()
+    curd = (p1d[-1]["n_chars"], p1d[-1]["doc_id"])
+    p2d = select(idx, Q, fields=fields, sort_field="n_chars",
+                 sort_ascending=False, rows=5, cursor_mark=curd).docs.collect()
+    assert [x["doc_id"] for x in p1d + p2d] == [x["doc_id"] for x in fulld]
+
+
+def test_select_rerank_sees_post_collapse_survivors(idx, fields):
+    """ADVICE r4: {!collapse} is an fq PostFilter, so rq reranks the
+    collapsed ranking — hand-compose collapse -> rerank and compare."""
+    r = select(idx, Q, fields=fields, collapse_field="grp",
+               rerank_query="word", rerank_docs=2, rerank_weight=3.0, rows=10)
+    # hand-compose: collapse survivors, then rerank the top-2 of THEM
+    survivors = [
+        (x["doc_id"], x["grp"], x["score"])
+        for x in bm25_collapse_topk(idx, Q, fields, "grp", k=100).collect()
+    ]
+    rr = {x["doc_id"]: x["score"] for x in score_or_docs(idx, "word").collect()}
+    head = survivors[:2]
+    adjusted = [
+        (d, g, s + 3.0 * rr.get(d, 0.0)) for d, g, s in head
+    ] + list(survivors[2:])
+    want = sorted(adjusted, key=lambda x: (-x[2], x[0]))[:10]
+    got = [(x["doc_id"], x["grp"], x["score"]) for x in r.docs.collect()]
+    assert [(d, g) for d, g, _ in got] == [(d, g) for d, g, _ in want]
+    for (_, _, sa), (_, _, sb) in zip(got, want):
+        assert sa == pytest.approx(sb, rel=1e-12)
+
+
+def test_select_range_pivot_json_facets(idx, fields):
+    """facet.range + facet.pivot + json.facet compose into ONE /select
+    and all count the same final match set as facet.field does."""
+    flds = fields.withColumn(
+        "len_bucket", (F.floor(F.col("n_chars") / 50) * 50).cast("long")
+    )
+    r = select(
+        idx, Q, fields=flds,
+        facet_fields=("grp",),
+        facet_ranges={"len_bucket": (F.floor(F.col("n_chars") / 50) * 50).cast("long")},
+        facet_pivots=(("grp", "len_bucket"),),
+        json_facet=("grp", [("avg_len", lambda c: F.avg(c("n_chars")))]),
+        rows=5,
+    )
+    matched = {x["doc_id"] for x in score_or_docs(idx, Q).collect()}
+    rows = [x for x in flds.collect() if x["doc_id"] in matched]
+    # range buckets
+    want_rng = {}
+    for x in rows:
+        want_rng[x["len_bucket"]] = want_rng.get(x["len_bucket"], 0) + 1
+    got_rng = {x["len_bucket"]: x["cnt"] for x in r.facets["len_bucket"].collect()}
+    assert got_rng == want_rng
+    # pivot (grp, len_bucket)
+    want_piv = {}
+    for x in rows:
+        k = (x["grp"], x["len_bucket"])
+        want_piv[k] = want_piv.get(k, 0) + 1
+    got_piv = {
+        (x["grp"], x["len_bucket"]): x["cnt"]
+        for x in r.facets["grp,len_bucket"].collect()
+    }
+    assert got_piv == want_piv
+    # json.facet terms + nested avg, buckets ordered by count desc
+    per_grp = {}
+    for x in rows:
+        per_grp.setdefault(x["grp"], []).append(x["n_chars"])
+    jf = r.facets["json:grp"].collect()
+    assert [x["grp"] for x in jf] == sorted(
+        per_grp, key=lambda g: (-len(per_grp[g]), g)
+    )
+    for x in jf:
+        assert x["count"] == len(per_grp[x["grp"]])
+        assert x["avg_len"] == pytest.approx(
+            sum(per_grp[x["grp"]]) / len(per_grp[x["grp"]]), rel=1e-12
+        )
+    # facet.field still agrees with the same match set
+    got_f = {x["grp"]: x["cnt"] for x in r.facets["grp"].collect()}
+    assert got_f == {g: len(v) for g, v in per_grp.items()}
