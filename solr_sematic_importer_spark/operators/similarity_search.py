@@ -11,9 +11,14 @@ Lucene HNSW. Spark-first equivalents:
 * rp_lsh_buckets / rp_lsh_cosine_topk — random-hyperplane LSH: sign-bit
   sketch per vector (deterministic seeded planes, Arrow UDF), candidates =
   vectors whose sketch hamming-matches the query within a probe radius;
-  exact cosine re-rank of the candidates only. The scale path: the bucket
-  table is partitioned by sketch prefix, so a query touches a bounded
-  slice of the corpus.
+  exact cosine re-rank of the candidates only. ``rp_lsh_cosine_topk`` is
+  the index-free one-shot form (one full sketch pass per call — fine for
+  ad-hoc use, wrong as a serving path).
+* write_rp_lsh_index / rp_lsh_index_topk — the serving path: the sketch
+  table is WRITTEN partitioned by the sketch's top-``prefix_bits``, and a
+  query enumerates the <=radius-reachable prefixes as a pushed ``IN``
+  filter, so partition pruning bounds the scan to sum(C(p, i), i<=radius)
+  of 2^p partitions (93/256 at p=8, r=3) instead of every sketch.
 """
 
 from __future__ import annotations
@@ -165,6 +170,103 @@ def ivf_cosine_topk(
     qn = q / max(np.linalg.norm(q), 1e-12)
     probe = np.argsort(-(centroids @ qn))[:nprobe].tolist()
     cand = assigned.filter(F.col("cluster_id").isin([int(c) for c in probe]))
+    return brute_force_cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def _radius_prefixes(qprefix: int, prefix_bits: int, radius: int) -> "list[int]":
+    """All prefixes whose hamming distance from ``qprefix`` is <= radius.
+    A sketch within ``radius`` bits of the query sketch can flip at most
+    ``radius`` bits anywhere, hence at most ``radius`` inside the prefix —
+    so this enumeration is exact (no candidate lost to pruning)."""
+    from itertools import combinations
+
+    out = set()
+    for d in range(min(radius, prefix_bits) + 1):
+        for pos in combinations(range(prefix_bits), d):
+            m = 0
+            for b in pos:
+                m |= 1 << b
+            out.add(qprefix ^ m)
+    return sorted(out)
+
+
+def write_rp_lsh_index(
+    df: DataFrame,
+    path: str,
+    dim: int,
+    bits: int = 16,
+    prefix_bits: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Build the serving-path LSH index: (id, vector, sketch) written
+    partitioned by the sketch's top-``prefix_bits`` so queries prune to
+    the <=radius-reachable prefix partitions (a pushed IN filter on the
+    partition column). The vector is stored alongside the sketch —
+    Lucene's HNSW stores vectors in the index the same way — so the exact
+    cosine re-rank reads only the probed partitions, never the corpus."""
+    planes = _planes(dim, bits, seed)
+    shift = bits - prefix_bits
+    vec_type = df.schema[vec_col].dataType.simpleString()
+
+    def sketch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            vals = ((mat @ planes) > 0) @ (1 << np.arange(bits, dtype=np.int64))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(),
+                    vec_col: pdf[vec_col],
+                    "sketch": vals,
+                    "prefix": (vals >> shift).astype(np.int32),
+                }
+            )
+
+    (
+        df.select(id_col, vec_col)
+        .mapInPandas(
+            sketch,
+            schema=f"vec_id long, {vec_col} {vec_type}, sketch long, prefix int",
+        )
+        .write.mode("overwrite")
+        .partitionBy("prefix")
+        .parquet(path)
+    )
+
+
+def rp_lsh_index_topk(
+    spark,
+    path: str,
+    query_vec: Sequence[float],
+    dim: int,
+    k: int = 10,
+    bits: int = 16,
+    prefix_bits: int = 8,
+    radius: int = 3,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Query the partitioned LSH index: enumerate the prefixes reachable
+    within ``radius`` (exact — see :func:`_radius_prefixes`), push them as
+    a partition filter, hamming-filter the surviving sketches JVM-side
+    (``bit_count(xor)``), exact-cosine re-rank the candidates. Identical
+    results to :func:`rp_lsh_cosine_topk` with the same (bits, radius,
+    seed), but the scan is bounded by partition pruning."""
+    planes = _planes(dim, bits, seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qsketch = int(((q @ planes) > 0) @ (1 << np.arange(bits, dtype=np.int64)))
+    qprefix = qsketch >> (bits - prefix_bits)
+    probe = _radius_prefixes(qprefix, prefix_bits, radius)
+    tbl = spark.read.parquet(path).filter(
+        F.col("prefix").isin([int(p) for p in probe])
+    )
+    cand = tbl.filter(
+        F.bit_count(F.col("sketch").bitwiseXOR(F.lit(qsketch))) <= radius
+    )
     return brute_force_cosine_topk(cand, query_vec, k, vec_col, id_col)
 
 

