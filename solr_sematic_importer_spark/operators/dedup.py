@@ -84,11 +84,22 @@ def shingles(
 
 
 def minhash_signatures(
-    sh: DataFrame, num_perm: int = 64, seed: int = 42
+    sh: DataFrame, num_perm: int = 64, seed: int = 42, hash_col=None
 ) -> DataFrame:
     """doc_id -> array<long> of num_perm minhash values. One hash agg; all
-    expressions JVM-side (xxhash64 + affine permutation mod Mersenne)."""
-    h = F.xxhash64("shingle").bitwiseAND(F.lit((1 << 31) - 1))
+    expressions JVM-side (xxhash64 + affine permutation mod Mersenne).
+
+    ``hash_col``: optional replacement Column for the default 31-bit
+    masked xxhash64 of the shingle (must already be bounded to < 2^31 so
+    the affine permutations stay overflow-free under ANSI arithmetic).
+    Lets an external SQL oracle mirror the permutation/banding machinery
+    exactly with a SQL-expressible hash; production callers keep the
+    default."""
+    h = (
+        F.xxhash64("shingle").bitwiseAND(F.lit((1 << 31) - 1))
+        if hash_col is None
+        else hash_col
+    )
     aggs = []
     for i, (a, b) in enumerate(_perm_constants(num_perm, seed)):
         aggs.append(F.min((h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"mh{i}"))
@@ -272,15 +283,23 @@ def embedding_near_dup_pairs(
     )
 
 
-def simhash(tf_df: DataFrame, bits: int = 64) -> DataFrame:
+def simhash(tf_df: DataFrame, bits: int = 64, hash_col=None) -> DataFrame:
     """64-bit SimHash per doc from the (doc_id, term, tf) table.
 
     Arrow-vectorized: per partition, numpy unpacks term-hash bits and
     accumulates +/- tf weights per bit; partials are then summed per doc
     (handles docs spanning Arrow batches) and signed into the fingerprint.
-    """
+
+    ``hash_col``: optional replacement Column for the default
+    ``xxhash64(term)`` (must produce a non-negative value < 2^bits).
+    Same purpose as in :func:`minhash_signatures` — an external SQL
+    oracle can mirror the bit-accumulation machinery exactly."""
     spark = tf_df.sparkSession
-    with_h = tf_df.select("doc_id", F.xxhash64("term").alias("h"), "tf")
+    with_h = tf_df.select(
+        "doc_id",
+        (F.xxhash64("term") if hash_col is None else hash_col).alias("h"),
+        "tf",
+    )
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

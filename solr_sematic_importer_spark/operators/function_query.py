@@ -269,10 +269,14 @@ def elevated_topk(
             (
                 F.lit(len(elevate_ids))
                 # row_number over a global window: input is already the
-                # limit(k) head, so the single-partition sort is k rows
+                # limit(k) head, so the single-partition sort is k rows.
+                # -1 keeps ranks DENSE across the pinned/organic boundary
+                # (pinned 0..n-1, organic continues at exactly n) — the
+                # same contract as select()'s elevation paging.
                 + F.row_number().over(
                     Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
                 )
+                - F.lit(1)
             ).cast("long").alias("rank"),
         )
     )

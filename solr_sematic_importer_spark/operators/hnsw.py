@@ -29,7 +29,16 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-GRAPH_SCHEMA = "part_id int, n int, payload binary"
+GRAPH_SCHEMA = "part_id int, n int, centroid array<double>, payload binary"
+
+
+def _unit_mean(vecs: np.ndarray) -> "list[float]":
+    """Routing centroid of a graph: normalized mean of its unit vectors."""
+    norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+    mean = (vecs / np.maximum(norms, 1e-12)).mean(axis=0)
+    return (mean / max(float(np.linalg.norm(mean)), 1e-12)).astype(
+        np.float64
+    ).tolist()
 
 
 def _level_for(vid: int, m_l: float) -> int:
@@ -181,30 +190,75 @@ def hnsw_build(
     num_partitions: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    route_clusters: "int | None" = None,
+    seed: int = 42,
 ) -> DataFrame:
     """Vectors -> graph-segment table (one HNSW graph per partition,
     Lucene's graph-per-segment layout). Persist the result with
     ``.write.parquet`` to make the index durable; rebuild is embarrassingly
-    parallel."""
+    parallel. Every graph row carries a routing ``centroid`` (normalized
+    mean of its unit vectors).
+
+    ``route_clusters=C``: instead of id-hash placement, vectors are
+    assigned to C coarse k-means clusters (the IVF quantizer) and ONE
+    graph is built per CLUSTER — content-based placement, so a query can
+    probe only the few graphs whose centroid is near it
+    (``hnsw_query(probe=m)``), bounding query cost by m/C of the corpus
+    the way Lucene bounds it per segment. With the default id-hash
+    placement each graph is a uniform sample and routing cannot help;
+    probe only makes sense over a routed build."""
     spark = df.sparkSession
+    if route_clusters is not None:
+        from .similarity_search import ivf_assign, ivf_train_centroids
+
+        cent = ivf_train_centroids(
+            df, dim, n_clusters=route_clusters, seed=seed, vec_col=vec_col
+        )
+        assigned = ivf_assign(df, cent, vec_col=vec_col, id_col=id_col)
+
+        def build_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+            # sort by id: insertion order (hence the graph) is
+            # deterministic regardless of shuffle arrival order
+            pdf = pdf.sort_values(id_col)
+            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float32)
+            g = HnswGraph(dim, m, ef_construction)
+            g.add_batch(pdf[id_col].to_numpy(), vecs)
+            return pd.DataFrame(
+                {
+                    "part_id": [int(pdf["cluster_id"].iloc[0])],
+                    "n": [len(g.ids)],
+                    "centroid": [_unit_mean(vecs)],
+                    "payload": [g.to_bytes()],
+                }
+            )
+
+        return (
+            assigned.select(id_col, vec_col, "cluster_id")
+            .groupBy("cluster_id")
+            .applyInPandas(build_cluster, GRAPH_SCHEMA)
+        )
+
     if num_partitions is None:
         num_partitions = max(2, spark.sparkContext.defaultParallelism // 2)
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         g = HnswGraph(dim, m, ef_construction)
-        pid = -1
+        all_vecs = []
         for b in batches:
             if not len(b):
                 continue
-            pid = 0
-            g.add_batch(
-                b[id_col].to_numpy(),
-                np.stack(b[vec_col].to_numpy()).astype(np.float32),
-            )
-        if pid < 0:
+            vecs = np.stack(b[vec_col].to_numpy()).astype(np.float32)
+            all_vecs.append(vecs)
+            g.add_batch(b[id_col].to_numpy(), vecs)
+        if not all_vecs:
             return
         yield pd.DataFrame(
-            {"part_id": [0], "n": [len(g.ids)], "payload": [g.to_bytes()]}
+            {
+                "part_id": [0],
+                "n": [len(g.ids)],
+                "centroid": [_unit_mean(np.vstack(all_vecs))],
+                "payload": [g.to_bytes()],
+            }
         )
 
     # repartition by id hash: uniform graph sizes, deterministic placement
@@ -222,11 +276,32 @@ def hnsw_query(
     query_vec: Sequence[float],
     k: int = 10,
     ef_search: int = 64,
+    probe: "int | None" = None,
 ) -> DataFrame:
     """Fan-out search: every graph segment row answers with its local
     top-k; TakeOrderedAndProject merges to the global k (score desc,
-    vec_id asc tie-break, matching the BM25 paths)."""
+    vec_id asc tie-break, matching the BM25 paths).
+
+    ``probe=m``: rank the graphs' routing centroids against the query
+    DRIVER-side (one tiny row per graph) and search only the m nearest
+    graphs — IVF's nprobe applied at graph granularity. Meaningful over a
+    content-routed build (``hnsw_build(route_clusters=...)``); over
+    id-hash graphs every centroid is near the corpus mean and probing
+    just truncates recall."""
     q = [float(x) for x in query_vec]
+    if probe is not None:
+        qn = np.asarray(q, dtype=np.float64)
+        qn = qn / max(float(np.linalg.norm(qn)), 1e-12)
+        cents = graphs.select("part_id", "centroid").collect()
+        ranked = sorted(
+            cents,
+            key=lambda r: (
+                -float(np.dot(np.asarray(r["centroid"], dtype=np.float64), qn)),
+                r["part_id"],
+            ),
+        )
+        keep = [int(r["part_id"]) for r in ranked[:probe]]
+        graphs = graphs.filter(F.col("part_id").isin(keep))
 
     def search(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -241,5 +316,5 @@ def hnsw_query(
                         }
                     )
 
-    cand = graphs.mapInPandas(search, "vec_id long, cosine double")
+    cand = graphs.select("payload").mapInPandas(search, "vec_id long, cosine double")
     return cand.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(k)

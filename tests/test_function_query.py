@@ -264,6 +264,9 @@ def test_elevation_pins_configured_order(idx):
     tail = [r["doc_id"] for r in got[2:]]
     assert tail == [d for d in organic_ids if d != pick][: len(tail)]
     assert all(not r["elevated"] for r in got[2:])
+    # ranks are DENSE across the pinned/organic boundary (select() paging
+    # contract): 0,1 pinned then 2,3,... organic with no gap
+    assert [r["rank"] for r in got] == list(range(len(got)))
 
 
 # ---------------------------------------------------------------- term vectors
