@@ -91,6 +91,19 @@ def main() -> None:
         times[name] = round(time.perf_counter() - t0, 3)
         return out
 
+    def count_jobs(tag: str, fn):
+        """Spark jobs launched by one warm query (VERDICT r4 #6): fewer
+        jobs = fewer scheduling round-trips, the latency floor at small
+        per-job work. Uses a job group + statusTracker."""
+        sc = spark.sparkContext
+        group = f"jobcount-{tag}"
+        sc.setJobGroup(group, tag)
+        try:
+            fn()
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
     # --- headline: inverted-index build over the transcript corpus ---------
     # measured as the SCALE path: fused analyze stage -> one (term, bucket)
     # shuffle -> vectorized block encode -> parquet index.
@@ -139,6 +152,9 @@ def main() -> None:
     extra["bm25_p50_sec"] = round(lat[len(lat) // 2], 3)
     extra["bm25_p95_sec"] = round(lat[int(len(lat) * 0.95) - 1 if len(lat) > 1 else 0], 3)
     times["bm25_top10_avg"] = round(sum(lat) / len(lat), 3)
+    extra["jobs_bm25_top10"] = count_jobs(
+        "bm25w", lambda: bm25_topk_wand(idx, queries[1], k=10).collect()
+    )
 
     idx.postings_flat.persist().count()  # flat view for the conjunction path
     timed(
@@ -217,6 +233,26 @@ def main() -> None:
         return r.docs.collect()
 
     timed("select_combined", _select_combined)
+    extra["jobs_select_combined"] = count_jobs("selc", _select_combined)
+    extra["jobs_bm25_documents"] = count_jobs(
+        "bm25d",
+        lambda: bm25_topk(didx, "merge sort window", k=10, quantize=False).collect(),
+    )
+    # warm select p50 vs the plain bm25 page on the SAME index (the 1.5x
+    # composition-overhead bound, VERDICT r4 #6): median of 3 warm runs
+    def _p50(fn, n=3):
+        ls = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            ls.append(time.perf_counter() - t0)
+        ls.sort()
+        return round(ls[n // 2], 3)
+
+    extra["select_combined_p50"] = _p50(_select_combined)
+    extra["bm25_documents_p50"] = _p50(
+        lambda: bm25_topk(didx, "merge sort window", k=10, quantize=False).collect()
+    )
 
     # --- dedup: minhash + LSH over documents -------------------------------
     def _dedup():

@@ -57,13 +57,29 @@ from .score import analyze_query, score_or_docs, score_partials
 
 @dataclass
 class SelectResponse:
-    """The response sections of a ``/select`` request."""
+    """The response sections of a ``/select`` request.
+
+    When the request has more than one section reading the match set
+    (page + facets and/or num_found), the scored match set is persisted
+    for the life of the response so each section reuses ONE scoring pass
+    instead of re-running postings scan + aggregation per collect
+    (section batching, VERDICT r4 #6). Call :meth:`release` after
+    consuming the sections — mirroring ``InvertedIndex.release()`` — or
+    the cached match set stays pinned until the session ends."""
 
     docs: DataFrame                 # the page: doc_id, score (+ extras)
     facets: dict = dc_field(default_factory=dict)   # name -> facet DF
     num_found: "int | None" = None  # total match count (opt-in, extra job)
     highlighting: "DataFrame | None" = None  # hl section: doc_id, snippet
     explain: "DataFrame | None" = None       # debugQuery: per-term partials
+    _cached: "DataFrame | None" = None       # persisted match set, if any
+
+    def release(self) -> None:
+        """Unpersist the shared match set (no-op for single-section
+        requests, which never persist)."""
+        if self._cached is not None:
+            self._cached.unpersist()
+            self._cached = None
 
 
 def select(
@@ -142,6 +158,7 @@ def select(
     needs_fields = boost is not None or collapse_field or any_facet or sort_field
     if needs_fields and fields is None:
         raise ValueError("boost/collapse/facet/sort require the stored-field table")
+    cached = [None]  # the persisted match set, threaded into the response
 
     def _finish(page: DataFrame, facets: dict, num_found: "int | None") -> SelectResponse:
         """Attach the hl / debug sections to the final page — both are
@@ -166,7 +183,8 @@ def select(
                     F.broadcast(page.select("doc_id")), "doc_id", "left_semi")
             )
         return SelectResponse(docs=page, facets=facets, num_found=num_found,
-                              highlighting=hl_df, explain=explain_df)
+                              highlighting=hl_df, explain=explain_df,
+                              _cached=cached[0])
 
     def _empty_facets() -> dict:
         out = {
@@ -254,6 +272,16 @@ def select(
                 F.broadcast(head.select("doc_id")), "doc_id", "left_anti"
             )
             per_doc = adjusted.unionByName(tail.select(*keep_cols, "score"))
+
+    # section batching (VERDICT r4 #6): the page, every facet flavor and
+    # num_found each trigger their own action over per_doc — persist the
+    # (already reduced, one-row-per-doc) match set when more than one
+    # section will read it, so scoring runs ONCE per request. The caller
+    # releases it via SelectResponse.release().
+    n_sections = 1 + (1 if any_facet else 0) + (1 if with_num_found else 0)
+    if n_sections >= 2:
+        per_doc = per_doc.persist()
+        cached[0] = per_doc
 
     # 5. facets over the final (post-fq, post-collapse) match set — every
     #    flavor shares ONE semi-joined stored-field frame

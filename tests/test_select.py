@@ -362,3 +362,28 @@ def test_select_range_pivot_json_facets(idx, fields):
     # facet.field still agrees with the same match set
     got_f = {x["grp"]: x["cnt"] for x in r.facets["grp"].collect()}
     assert got_f == {g: len(v) for g, v in per_grp.items()}
+
+
+def test_select_multi_section_batches_scoring_and_releases(idx, fields):
+    """Section batching (VERDICT r4 #6): a request with page + facets +
+    num_found persists the scored match set ONCE so each section reuses
+    it; release() returns storage to baseline. Single-section requests
+    never persist."""
+    def n_persistent(sp):
+        return sp.sparkContext._jsc.getPersistentRDDs().size()
+
+    spark = fields.sparkSession
+    before = n_persistent(spark)
+    r = select(idx, Q, fields=fields, facet_fields=("grp",),
+               with_num_found=True, rows=5)
+    page = [(x["doc_id"], x["score"]) for x in r.docs.collect()]
+    fc = {x["grp"]: x["cnt"] for x in r.facets["grp"].collect()}
+    assert page and fc and r.num_found
+    assert n_persistent(spark) == before + 1
+    r.release()
+    assert n_persistent(spark) == before
+    r.release()  # idempotent
+    # values identical to a single-section (non-cached) request
+    r2 = select(idx, Q, rows=5)
+    assert page == [(x["doc_id"], x["score"]) for x in r2.docs.collect()]
+    assert n_persistent(spark) == before  # single-section never persisted
