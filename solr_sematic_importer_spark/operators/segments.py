@@ -361,7 +361,7 @@ def compact(
     size."""
     import numpy as np
 
-    from ..functions.codec import decode_block, encode_blocks
+    from ..functions.codec import decode_block
     from ..functions.similarity import LENGTH_TABLE
 
     man = read_manifest(spark, path)
@@ -435,70 +435,111 @@ def compact(
 
     passthrough = blocks.join(overlap, ["term", "bucket_id"], "left_anti").drop("_seg")
 
-    def reencode(grp: pd.DataFrame) -> pd.DataFrame:
-        cols = [c.split()[0] for c in BLOCKS_SCHEMA.split(", ")]
-        term = grp["term"].iloc[0]
-        bucket = int(grp["bucket_id"].iloc[0])
-        docs_l, tfs_l, norms_l = [], [], []
-        for r in grp.sort_values(["first_doc"]).itertuples():
-            d, t, nb = decode_block(r.first_doc, r.doc_bytes, r.tf_bytes, r.norm_bytes)
-            docs_l.append(d)
-            tfs_l.append(t)
-            norms_l.append(nb)
-        docs = np.concatenate(docs_l)
-        order = np.argsort(docs, kind="stable")
-        docs = docs[order]
-        tfs = np.concatenate(tfs_l)[order]
-        norms = np.concatenate(norms_l)[order]
-        if "_dels" in grp.columns:
-            dels = grp["_dels"].iloc[0]
-            if isinstance(dels, (list, tuple, np.ndarray)) and len(dels):
-                keep = ~np.isin(docs, np.asarray(dels, dtype=np.int64))
-                docs, tfs, norms = docs[keep], tfs[keep], norms[keep]
-        if not docs.size:
-            return pd.DataFrame(columns=cols)
-        dlq = LENGTH_TABLE[norms].astype(np.float64)
-        impacts = tfs / (tfs + k1 * (1.0 - b + b * dlq / avgdl))
-        rows = [(term, bucket, *blk) for blk in encode_blocks(docs, tfs, norms, impacts)]
-        return pd.DataFrame(rows, columns=cols)
-
     to_reencode = blocks.join(F.broadcast(overlap), ["term", "bucket_id"], "left_semi")
     if del_by_bucket is not None:
         to_reencode = to_reencode.join(del_by_bucket, "bucket_id", "left")
 
-    def reencode_batches(batches):
-        """Re-encode many (term, bucket) groups per Arrow batch. The input
-        is repartitioned by the group key and sorted, so groups are
-        contiguous within a partition; the tail group of each batch is
-        held back and stitched to the next batch (it may continue there).
-        One applyInPandas task per group — the previous shape — paid
-        ~1 ms of per-group overhead, which dominated exactly when a
-        spread-out delete vector touched every bucket (a full-index
-        re-encode ran 8x slower than the original build)."""
-        pend = None
-        for b in batches:
-            if not len(b):
-                continue
-            if pend is not None:
-                b = pd.concat([pend, b], ignore_index=True)
-            outs = []
-            groups = list(b.groupby(["term", "bucket_id"], sort=False))
-            for _key, grp in groups[:-1]:
-                out = reencode(grp)
-                if len(out):
-                    outs.append(out)
-            pend = groups[-1][1]
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
-        if pend is not None and len(pend):
-            out = reencode(pend)
-            if len(out):
-                yield out
+    def reencode_partition(batches):
+        """Decode a whole shuffle partition of block rows to flat posting
+        arrays, drop deleted docs with ONE np.isin (doc ids are globally
+        unique, so the partition's pooled delete set is exact), and
+        re-encode through ``encode_partition_blocks`` — the SAME
+        whole-array kernel the original build uses. Earlier shapes paid
+        per-group overhead that dominated exactly when a spread-out
+        delete vector forced a full-index re-encode: one applyInPandas
+        task per (term, bucket) was 8x slower than the build; a pandas
+        groupby inside mapInPandas still spent ~0.4 ms/group building a
+        DataFrame per group (~70k groups -> ~30 s at sf0.01). This path
+        is a per-block decode loop plus whole-partition NumPy, matching
+        build-encode throughput."""
+        import pyarrow as pa
+
+        from ..functions.codec import encode_partition_blocks
+
+        batches = [bt for bt in batches if bt.num_rows]
+        if not batches:
+            return
+        tbl = pa.Table.from_batches(batches).combine_chunks()
+        dict_arr = pa.compute.dictionary_encode(tbl.column("term").chunk(0))
+        tidx = dict_arr.indices.to_numpy()
+        vocab = dict_arr.dictionary
+        buckets = tbl.column("bucket_id").chunk(0).to_numpy()
+        first_docs = tbl.column("first_doc").chunk(0).to_numpy()
+        db = tbl.column("doc_bytes").chunk(0)
+        tb = tbl.column("tf_bytes").chunk(0)
+        nb = tbl.column("norm_bytes").chunk(0)
+
+        # pooled delete set: _dels repeats per bucket — take one row per
+        # distinct bucket and flatten (ids never reused across buckets)
+        del_set = np.empty(0, dtype=np.int64)
+        if "_dels" in tbl.column_names:
+            _, first_row = np.unique(buckets, return_index=True)
+            taken = tbl.column("_dels").chunk(0).take(
+                pa.array(first_row, type=pa.int64())
+            )
+            flat = pa.compute.list_flatten(taken).to_numpy(zero_copy_only=False)
+            if flat.size:
+                del_set = np.unique(flat.astype(np.int64))
+
+        n = len(tidx)
+        docs_l, tfs_l, norms_l = [], [], []
+        counts = np.empty(n, dtype=np.int64)
+        for i in range(n):
+            d, t, m = decode_block(
+                int(first_docs[i]), db[i].as_py(), tb[i].as_py(), nb[i].as_py()
+            )
+            docs_l.append(d)
+            tfs_l.append(t)
+            norms_l.append(m)
+            counts[i] = len(d)
+        docs = np.concatenate(docs_l)
+        tfs = np.concatenate(tfs_l)
+        norms = np.concatenate(norms_l)
+        # rows are sorted by (term, bucket, first_doc) so groups are
+        # contiguous; a stable doc sort WITHIN each group (segments can in
+        # principle interleave doc ranges) via lexsort on (doc, group id)
+        row_gid = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            row_gid[1:] = np.cumsum(
+                (tidx[1:] != tidx[:-1]) | (buckets[1:] != buckets[:-1])
+            )
+        gid = np.repeat(row_gid, counts)
+        term_rep = np.repeat(tidx, counts)
+        buck_rep = np.repeat(buckets, counts)
+        order = np.lexsort((docs, gid))
+        docs, tfs, norms = docs[order], tfs[order], norms[order]
+        term_rep, buck_rep = term_rep[order], buck_rep[order]
+        if del_set.size:
+            keep = ~np.isin(docs, del_set)
+            docs, tfs, norms = docs[keep], tfs[keep], norms[keep]
+            term_rep, buck_rep = term_rep[keep], buck_rep[keep]
+        if not docs.size:
+            return
+        dlq = LENGTH_TABLE[norms].astype(np.float64)
+        impacts = tfs / (tfs + k1 * (1.0 - b + b * dlq / avgdl))
+        cols = encode_partition_blocks(term_rep, buck_rep, docs, tfs, norms, impacts)
+        yield pa.RecordBatch.from_arrays(
+            [
+                vocab.take(pa.array(cols["term"], type=pa.int32())),
+                pa.array(np.asarray(cols["bucket_id"], dtype=np.int64)),
+                pa.array(np.asarray(cols["block_id"], dtype=np.int32)),
+                pa.array(np.asarray(cols["first_doc"], dtype=np.int64)),
+                pa.array(np.asarray(cols["last_doc"], dtype=np.int64)),
+                pa.array(np.asarray(cols["cnt"], dtype=np.int32)),
+                pa.array(np.asarray(cols["max_tf"], dtype=np.int32)),
+                pa.array(np.asarray(cols["sum_tf"], dtype=np.int64)),
+                pa.array(np.asarray(cols["max_impact"], dtype=np.float64)),
+                pa.array(cols["doc_bytes"], type=pa.binary()),
+                pa.array(cols["tf_bytes"], type=pa.binary()),
+                pa.array(cols["norm_bytes"], type=pa.binary()),
+            ],
+            names=[c.split()[0] for c in BLOCKS_SCHEMA.split(", ")],
+        )
 
     merged = (
         to_reencode.repartition("term", "bucket_id")
         .sortWithinPartitions("term", "bucket_id", "first_doc")
-        .mapInPandas(reencode_batches, BLOCKS_SCHEMA)
+        .mapInArrow(reencode_partition, BLOCKS_SCHEMA)
     )
 
     out_dir = f"{path}/segments/{out_key}"
