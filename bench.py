@@ -63,6 +63,19 @@ def main() -> None:
     sf = _sf_from_dir(sf_dir)
     # transcript corpus scaled by sf: sf0.1 -> 20k conversations (~340k turns)
     n_convs = max(1000, int(200_000 * sf))
+    # Size the JVM heap and shuffle-partition count to the data, the same
+    # way a cluster sizes executor memory / spark.sql.shuffle.partitions
+    # to the target SF (README "Scale design"). The defaults (8g, 32) are
+    # the sf<=0.1 driver protocol and stay untouched there; at sf1 a
+    # 3.4M-turn build OOMed the 8g single-JVM heap (serialized analyzed
+    # cache + 32 concurrent sort/parquet-writer buffers), and the
+    # whole-partition Arrow encode kernel needs partition count to grow
+    # with input so each assembled partition stays bounded.
+    if sf > 0.2:
+        os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
+        os.environ.setdefault(
+            "SPARK_SHUFFLE_PARTITIONS", str(max(32, int(320 * sf)))
+        )
 
     spark = get_spark(app_name=f"bench-sf{sf}", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")

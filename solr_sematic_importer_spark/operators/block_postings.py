@@ -102,6 +102,9 @@ def encode_flat_to_blocks(
         # indices; equal terms are contiguous (partition is sorted), so
         # index change points == term change points.
         import pyarrow as pa
+        import pyarrow.compute  # noqa: F401 — pa.compute is NOT auto-imported;
+        # workers that happened to import it transitively masked this until a
+        # fresh worker pool at sf1 hit the bare AttributeError
 
         from ..functions.codec import encode_partition_blocks
 

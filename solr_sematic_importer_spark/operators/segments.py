@@ -453,6 +453,7 @@ def compact(
         is a per-block decode loop plus whole-partition NumPy, matching
         build-encode throughput."""
         import pyarrow as pa
+        import pyarrow.compute  # noqa: F401 — pa.compute is NOT auto-imported
 
         from ..functions.codec import encode_partition_blocks
 

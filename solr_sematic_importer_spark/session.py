@@ -59,6 +59,7 @@ def _warm_python_workers(spark: SparkSession) -> None:
         import numpy  # noqa: F401
         import pandas  # noqa: F401
         import pyarrow  # noqa: F401
+        import pyarrow.compute  # noqa: F401 — not pulled in by bare pyarrow
         for b in batches:
             yield b
 
