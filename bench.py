@@ -77,7 +77,16 @@ def main() -> None:
             "SPARK_SHUFFLE_PARTITIONS", str(max(32, int(320 * sf)))
         )
 
-    spark = get_spark(app_name=f"bench-sf{sf}", master=f"local[{cpus}]")
+    # Long benches churn one shuffle per stage for ~500 stages; the files
+    # live in SPARK_LOCAL_DIRS (tmpfs here, i.e. host RAM) until the driver
+    # GC notices the dead lineage. Spark's default periodicGC is 30min —
+    # longer than the whole sf1 run — so at sf>0.2 shorten it, or retained
+    # shuffle files + persisted frames exhaust the host mid-run (observed:
+    # simultaneous Python-worker crashes 14min into the first sf1 attempt).
+    extra_conf = {"spark.cleaner.periodicGC.interval": "2min"} if sf > 0.2 else None
+    spark = get_spark(
+        app_name=f"bench-sf{sf}", master=f"local[{cpus}]", extra_conf=extra_conf
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     from solr_sematic_importer_spark.operators.build import build_index
@@ -174,6 +183,12 @@ def main() -> None:
         "bm25_conjunction",
         lambda: bm25_conjunction_topk(idx, "you one he", k=10).collect(),
     )
+    # transcripts-index section done: release its cached frames so later
+    # sections (and the gated compact cycle) run against a clean heap —
+    # at sf1 the flat postings alone are tens of GB deserialized.
+    idx.postings_flat.unpersist()
+    idx.postings_blocks.unpersist()
+    idx.term_stats.unpersist()
 
     # --- documents-table path (driver sf tables) ----------------------------
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
@@ -210,6 +225,7 @@ def main() -> None:
         lambda: boolean_query_topk(didx, "+merge sort -window", k=10,
                                    quantize=False).collect(),
     )
+    pos.unpersist()  # positions only feed the phrase query above
 
     # --- round-3 query surfaces (same documents index, request-shaped) -----
     from solr_sematic_importer_spark.operators.function_query import rerank_topk
@@ -274,11 +290,13 @@ def main() -> None:
         return lsh_candidate_pairs(sig, bands=16).count()
 
     timed("dedup_minhash_lsh", _dedup)
+    docs.unpersist()  # documents sections done (index, select, dedup)
 
     # --- ANN: brute-force cosine top-10 over embeddings ---------------------
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     timed("ann_cosine_topk", lambda: brute_force_cosine_topk(emb, qv, k=10).collect())
+    emb.unpersist()
 
     # --- optional: one log-structured segment + delete + compact cycle ------
     # (SPARK_GRAFT_BENCH_COMPACT=1; off by default so bench_total stays
@@ -303,6 +321,7 @@ def main() -> None:
                            profile="text_en")
 
         timed("segment_appends", _appends)
+        tdf.unpersist()  # appends were the last reader of the raw turns
         sidx = read_segmented_index(spark, seg_dir)
         victims = sidx.doc_stats.filter(F.col("doc_id") % 100 == 0).select("doc_id")
         record_deletes(spark, seg_dir, victims)

@@ -30,6 +30,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if os.environ.get("SPARK_GRAFT_FAULTHANDLER"):
+        # Python-side tracebacks for worker crashes (debug aid; off by
+        # default — it disables worker reuse in some Spark versions)
+        b = (
+            b.config("spark.python.worker.faulthandler.enabled", "true")
+            .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "true")
+        )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
