@@ -1185,7 +1185,14 @@ def q_select_combined_facet(spark, sf_dir):
         facet_fields=("lang",),
         rows=10, quantize=False,
     )
-    return r.facets["lang"].select("lang", F.col("cnt").cast("long").alias("cnt"))
+    out = r.facets["lang"].select(
+        "lang", F.col("cnt").cast("long").alias("cnt")
+    )
+    # the gate consumes only this one section: release the shared match
+    # set now (recompute-on-collect) rather than leak a cached frame per
+    # invocation — the persist pays off only for multi-section consumers
+    r.release()
+    return out
 
 
 def q_select_facet_range_pivot(spark, sf_dir):
@@ -1218,7 +1225,9 @@ def q_select_facet_range_pivot(spark, sf_dir):
         F.concat_ws("/", "lang", "source").alias("key"),
         F.col("cnt").cast("long").alias("cnt"),
     )
-    return rng.unionByName(piv)
+    out = rng.unionByName(piv)
+    r.release()  # single returned frame: don't leak the per-request cache
+    return out
 
 
 def q_bm25_boost_function(spark, sf_dir):
