@@ -217,31 +217,43 @@ def select(
         )
         return _finish(empty_docs, _empty_facets(), 0 if with_num_found else None)
 
-    # 2. boost (same LEFT-join + identity-default shape as bm25_boosted_topk)
+    # 2+3. boost, then collapse FIRST relative to rerank ({!collapse} is
+    # an fq PostFilter applied at collection time, so rq reranks the
+    # post-collapse survivors). Both sections read the SAME stored-field
+    # table, so they share ONE join: every extra join is an extra
+    # AQE-materialized job in the request, and warm-query latency here is
+    # scheduling-bound (BASELINE.md §4). Composition is unchanged —
+    # boost's LEFT + identity default followed by collapse's INNER equals
+    # one INNER join when both are present (docs absent from the
+    # stored-field table are dropped by collapse either way; a present
+    # doc with a NULL boost value still coalesces to the identity).
+    if boost is not None or collapse_field:
+        proj = [F.col("doc_id")]
+        if boost is not None:
+            proj.append(boost.cast("double").alias("_boost"))
+        if collapse_field:
+            proj.append(F.col(collapse_field))
+        per_doc = per_doc.join(
+            fields.select(*proj), "doc_id",
+            "inner" if collapse_field else "left",
+        )
     if boost is not None:
         ident = 1.0 if boost_mode == "multiply" else 0.0
-        stats = fields.withColumn("_boost", boost.cast("double"))
-        per_doc = per_doc.join(
-            stats.select("doc_id", "_boost"), "doc_id", "left"
-        ).withColumn("_boost", F.coalesce(F.col("_boost"), F.lit(ident)))
         op = (
-            F.col("score") * F.col("_boost")
+            F.col("score") * F.coalesce(F.col("_boost"), F.lit(ident))
             if boost_mode == "multiply"
-            else F.col("score") + F.col("_boost")
+            else F.col("score") + F.coalesce(F.col("_boost"), F.lit(ident))
         )
-        per_doc = per_doc.select("doc_id", op.alias("score"))
-
-    # 3. collapse FIRST: {!collapse} is an fq PostFilter applied at
-    #    collection time, so rq reranks the post-collapse survivors
+        keep = ["doc_id"] + ([collapse_field] if collapse_field else [])
+        per_doc = per_doc.select(*keep, op.alias("score"))
     if collapse_field:
         from pyspark.sql.window import Window
 
-        joined = per_doc.join(fields.select("doc_id", collapse_field), "doc_id")
         w = Window.partitionBy(collapse_field).orderBy(
             F.col("score").desc(), F.col("doc_id").asc()
         )
         per_doc = (
-            joined.withColumn("_rn", F.row_number().over(w))
+            per_doc.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
