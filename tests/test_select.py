@@ -387,3 +387,42 @@ def test_select_multi_section_batches_scoring_and_releases(idx, fields):
     r2 = select(idx, Q, rows=5)
     assert page == [(x["doc_id"], x["score"]) for x in r2.docs.collect()]
     assert n_persistent(spark) == before  # single-section never persisted
+
+
+def test_select_boost_collapse_shared_join_edges(idx, fields):
+    """The shared stored-field join must preserve the sequential
+    semantics at its edges: a doc ABSENT from fields is kept (identity
+    boost) under boost-only, dropped under collapse; a doc present with
+    a NULL boost value coalesces to the identity either way."""
+    page = select(idx, Q, rows=10).docs.collect()
+    assert page
+    present, absent = page[0]["doc_id"], page[-1]["doc_id"]
+    assert present != absent
+    # fields missing `absent`; `present` carries a NULL boost input
+    f2 = (
+        fields.filter(F.col("doc_id") != absent)
+        .withColumn(
+            "n_chars",
+            F.when(F.col("doc_id") == present, F.lit(None)).otherwise(
+                F.col("n_chars")
+            ),
+        )
+    )
+    boost = (1.0 / (F.lit(0.01) * F.col("n_chars") + 1.0)).cast("double")
+
+    # boost-only: LEFT semantics — absent doc kept at identity (x1.0),
+    # present-with-NULL kept at identity too
+    r = select(idx, Q, fields=f2, boost=boost, rows=len(page)).docs
+    got = {x["doc_id"]: x["score"] for x in r.collect()}
+    base = {x["doc_id"]: x["score"] for x in page}
+    assert got[absent] == pytest.approx(base[absent], rel=1e-12)
+    assert got[present] == pytest.approx(base[present], rel=1e-12)
+
+    # boost + collapse: INNER semantics — absent doc dropped, NULL-boost
+    # doc still present at its identity-boosted score
+    rc = select(idx, Q, fields=f2, boost=boost, collapse_field="grp",
+                rows=1000).docs
+    gotc = {x["doc_id"]: x["score"] for x in rc.collect()}
+    assert absent not in gotc
+    if present in gotc:  # it may lose its group's collapse to a peer
+        assert gotc[present] == pytest.approx(base[present], rel=1e-12)
