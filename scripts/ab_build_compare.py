@@ -94,6 +94,10 @@ def main() -> None:
     ap.add_argument("--n-convs", type=int, default=12000)
     ap.add_argument("--old", default="6ba44cf")
     ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--out", default=None,
+                    help="report path (default AB_BUILD.json in the repo; "
+                         "pass a distinct name to keep earlier rounds' "
+                         "evidence files intact)")
     args = ap.parse_args()
 
     if args.worker_tree:
@@ -139,7 +143,8 @@ def main() -> None:
         "samples": samples,
     }
     print(json.dumps(report))
-    with open(os.path.join(REPO, "AB_BUILD.json"), "w") as f:
+    out_path = args.out or os.path.join(REPO, "AB_BUILD.json")
+    with open(out_path, "w") as f:
         json.dump(report, f, indent=2)
 
 
