@@ -716,8 +716,17 @@ def q_bm25_wand(spark, sf_dir):
 def q_segmented_build(spark, sf_dir):
     """Log-structured segmented build + manifest resume (north_rule
     'resumable from checkpoint with per-partition lineage + metrics'):
-    two segments appended over disjoint conv ranges, queried as one
-    logical index. Rows-only (manifest/side-effect machinery)."""
+    two segments appended over disjoint doc-id halves, a third append of
+    an already-committed key proving the checkpoint no-op, then BM25
+    through the merged read. Oracle-gated since r5: the merged segmented
+    index must reproduce the single-shot BM25 oracle EXACTLY — same
+    global df/N/avgdl after the manifest merge, same scores, same
+    top-10 — so the whole append/manifest/merge/resume path rides the
+    hard value-hash check (tests/test_segments.py
+    test_segmented_equals_oneshot asserts the same equality in-process).
+    Internal dense ids are mapped back to the documents table's doc_id
+    via the stored key column, so the entry never relies on id-assignment
+    luck."""
     import tempfile
 
     from solr_sematic_importer_spark.operators.score import bm25_topk
@@ -725,16 +734,26 @@ def q_segmented_build(spark, sf_dir):
         append_segment,
         read_segmented_index,
     )
-    from solr_sematic_importer_spark.sources.transcripts import transcripts_from_documents
 
     _prepare(spark)
-    t = transcripts_from_documents(spark, sf_dir)
+    d = _docs(spark, sf_dir).withColumnRenamed("doc_id", "orig_id")
+    lo, hi = d.filter(F.col("orig_id") < 250), d.filter(F.col("orig_id") >= 250)
     path = tempfile.mkdtemp(prefix="segidx_")
-    mid = "conv_00000250"
-    append_segment(spark, path, "lo", t.filter(F.col("conv_id") < mid))
-    append_segment(spark, path, "hi", t.filter(F.col("conv_id") >= mid))
+    kw = dict(key_cols=("orig_id",), profile="simple")
+    append_segment(spark, path, "lo", lo, **kw)
+    append_segment(spark, path, "hi", hi, **kw)
+    # checkpoint resume: re-appending a committed segment key must be a
+    # manifest no-op (no re-tokenize, no duplicate postings)
+    res = append_segment(spark, path, "lo", lo, **kw)
+    if not res.skipped:
+        raise AssertionError("resume re-append was not a manifest no-op")
     idx = read_segmented_index(spark, path)
-    return bm25_topk(idx, "merging sorted windows", k=10)
+    top = bm25_topk(idx, Q_OR, k=10, quantize=False)
+    # bm25_topk carries the stored key column for keyed profiles, so the
+    # external id is already on the row — no extra join needed.
+    return top.select(
+        F.col("orig_id").alias("doc_id"), F.round("score", 4).alias("score")
+    )
 
 
 def q_minhash_lsh(spark, sf_dir):
@@ -1387,6 +1406,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse_field": q_collapse_field,
         "elevated_query": q_elevated_query,
         "near_dup_components": q_near_dup_components,
+        # -- NEWLY oracle-gated this round: segment append/merge/resume --
+        "segmented_build_resume": q_segmented_build,
         # -- r4-green, keeping their window seat while room permits ------
         "mm_conditional": q_mm_conditional,
         "fuzzy_query": q_fuzzy_query,
@@ -1408,7 +1429,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "ngram_jaccard": q_ngram_jaccard,
         "content_hash_groups": q_content_hash_groups,
-        # ---------------- window boundary (50 oracle entries above) -----
+        # -------- window boundary (50 oracle entries above; the 51st
+        # oracle entry, content_hash_groups, takes its turn outside) -----
         # -- r4-green, outside the window this round (local gate covers) -
         "media_features": q_media_features,
         "media_frame_sample": q_media_frames,
@@ -1436,7 +1458,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_first_event": q_window_first_event,
         # rows-only (no oracle entry):
         "bm25_lucene_text_en": q_bm25_lucene,
-        "segmented_build_resume": q_segmented_build,
         "ann_lsh_topk": q_ann_lsh,
         "ann_ivf_topk": q_ann_ivf,
         "ann_hnsw_topk": q_ann_hnsw,
@@ -1447,14 +1468,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def rows_only() -> set[str]:
     """Entries intentionally WITHOUT an oracle_sql() row (non-SQL-
-    expressible: Lucene SmallFloat-quantized scoring, approximate ANN,
-    seeded k-means/graph construction, streaming state, resume side
-    effects). Every queries() key must appear in oracle_sql() OR here —
+    expressible: Lucene text_en stemming, approximate ANN, seeded
+    k-means/graph construction, streaming state). Every queries() key
+    must appear in oracle_sql() OR here —
     tests/test_entry_contract.py enforces the lockstep so an entry can
     never silently ship unverified (VERDICT r2 next-round #8)."""
     return {
         "bm25_lucene_text_en",
-        "segmented_build_resume",
         "ann_lsh_topk",
         "ann_ivf_topk",
         "ann_hnsw_topk",
@@ -1996,6 +2016,9 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(dl)::DOUBLE / count(*), 4) AS avgdl
             FROM dl""",
         "bm25_topk_or": _bm25_oracle(Q_OR.split()),
+        # segmented append+resume+merge must reproduce the single-shot
+        # BM25 oracle exactly (global df/N/avgdl merged across segments)
+        "segmented_build_resume": _bm25_oracle(Q_OR.split()),
         "bm25_topk_rare": _bm25_oracle(Q_RARE.split()),
         "bm25_wand_blocks": _bm25_quantized_oracle(Q_OR.split()),
         "minhash_lsh_candidates": _minhash_lsh_oracle(),
