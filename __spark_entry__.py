@@ -1427,10 +1427,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_pivot": q_facet_pivot,
         "ann_cosine_topk": q_ann_cosine,
         "embedding_near_dup": q_embedding_near_dup,
+        # -------- window boundary (50 oracle entries above; ngram_jaccard
+        # and content_hash_groups, both r4-green, take their turn outside
+        # to make room for the newly gated segmented_build_resume) -------
         "ngram_jaccard": q_ngram_jaccard,
         "content_hash_groups": q_content_hash_groups,
-        # -------- window boundary (50 oracle entries above; the 51st
-        # oracle entry, content_hash_groups, takes its turn outside) -----
         # -- r4-green, outside the window this round (local gate covers) -
         "media_features": q_media_features,
         "media_frame_sample": q_media_frames,
