@@ -363,9 +363,14 @@ def main() -> None:
         import subprocess
 
         try:
+            # --samples matches the headline's sample count (best-of-2 at
+            # small SF, single-sample above), so the local16-vs-pinned
+            # comparison is like-for-like — the worker's default best-of-3
+            # would bias the probe low on a host with 2-3x drift.
             probe = subprocess.run(
                 [sys.executable, os.path.join(REPO, "bench_scaling.py"),
-                 "--worker", "16", "--n-convs", str(n_convs)],
+                 "--worker", "16", "--n-convs", str(n_convs),
+                 "--samples", str(max(1, n_build_samples - 1))],
                 capture_output=True, text=True, timeout=1800,
             )
             for line in probe.stdout.splitlines():

@@ -162,11 +162,22 @@ def main() -> None:
         # intra-pair drift (one recorded 1.427, see worker()).
         with open(out_path) as f:
             prev = json.load(f)
-        if (
+        if not (
             prev.get("n_convs") == args.n_convs
             and prev.get("pinned_cores") == pin
             and sorted(int(k) for k in prev.get("levels", {})) == sorted(levels)
         ):
+            # refuse rather than silently replacing accumulated evidence
+            # with only the new batch — --append's whole contract is merge
+            raise SystemExit(
+                f"--append: existing {out_path} was recorded under a "
+                f"different protocol (n_convs={prev.get('n_convs')}, "
+                f"pinned={prev.get('pinned_cores')}, "
+                f"levels={sorted(prev.get('levels', {}))}); rerun without "
+                "--append (and a different --out-style destination) or "
+                "match the protocol"
+            )
+        else:
             for r in list(prev.get("rounds", [])) + list(
                 prev.get("rounds_single_sample", [])
             ):

@@ -232,10 +232,28 @@ def hnsw_build(
                 }
             )
 
-        return (
+        routed = (
             assigned.select(id_col, vec_col, "cluster_id")
             .groupBy("cluster_id")
             .applyInPandas(build_cluster, GRAPH_SCHEMA)
+        )
+        # The k-means routing centroids are already known DRIVER-side
+        # (ivf_train_centroids runs on a bounded sample on the driver).
+        # Stash them as column metadata, indexed by part_id==cluster_id,
+        # so hnsw_query(probe=m) can rank routes with ZERO Spark jobs —
+        # collecting them from the lazy applyInPandas result would build
+        # every graph once for routing and again for the probed search.
+        cent_unit = cent.astype(np.float64)
+        norms = np.maximum(np.linalg.norm(cent_unit, axis=1, keepdims=True), 1e-12)
+        cent_unit = cent_unit / norms
+        # flat layout: Spark column Metadata supports arrays of doubles
+        # but not arrays of arrays
+        return routed.withMetadata(
+            "part_id",
+            {
+                "route_dim": int(cent_unit.shape[1]),
+                "route_centroids_flat": [float(x) for x in cent_unit.ravel()],
+            },
         )
 
     if num_partitions is None:
@@ -292,15 +310,33 @@ def hnsw_query(
     if probe is not None:
         qn = np.asarray(q, dtype=np.float64)
         qn = qn / max(float(np.linalg.norm(qn)), 1e-12)
-        cents = graphs.select("part_id", "centroid").collect()
-        ranked = sorted(
-            cents,
-            key=lambda r: (
-                -float(np.dot(np.asarray(r["centroid"], dtype=np.float64), qn)),
-                r["part_id"],
-            ),
-        )
-        keep = [int(r["part_id"]) for r in ranked[:probe]]
+        try:
+            meta = graphs.schema["part_id"].metadata or {}
+        except (KeyError, TypeError):
+            meta = {}
+        flat = meta.get("route_centroids_flat")
+        rdim = int(meta.get("route_dim", 0) or 0)
+        if flat is not None and rdim:
+            # zero-job routing: centroids came along as column metadata
+            # from the routed build (part_id == centroid index)
+            route = np.asarray(flat, dtype=np.float64).reshape(-1, rdim)
+            sims = route @ qn
+            ranked = sorted(range(len(route)), key=lambda i: (-float(sims[i]), i))
+            keep = ranked[:probe]
+        else:
+            # fallback (e.g. metadata stripped by a foreign writer): one
+            # tiny row per graph — but over a non-persisted routed build
+            # this materializes every graph just to read its centroid, so
+            # persist `graphs` first in that case.
+            cents = graphs.select("part_id", "centroid").collect()
+            ranked = sorted(
+                cents,
+                key=lambda r: (
+                    -float(np.dot(np.asarray(r["centroid"], dtype=np.float64), qn)),
+                    r["part_id"],
+                ),
+            )
+            keep = [int(r["part_id"]) for r in ranked[:probe]]
         graphs = graphs.filter(F.col("part_id").isin(keep))
 
     def search(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -460,7 +460,30 @@ def compact(
         batches = [bt for bt in batches if bt.num_rows]
         if not batches:
             return
-        tbl = pa.Table.from_batches(batches).combine_chunks()
+        tbl = pa.Table.from_batches(batches)
+        # 64-bit offsets BEFORE combining: a partition's pooled
+        # doc/tf/norm bytes can exceed binary's 2 GiB int32-offset
+        # capacity on a full-index compact with few shuffle partitions;
+        # with plain binary, combine_chunks either raises or (worse)
+        # keeps >1 chunk and the chunk(0) reads below would silently
+        # drop the tail rows. large_* always combines into one chunk.
+        for ci, fname in enumerate(tbl.column_names):
+            t = tbl.schema.field(fname).type
+            if pa.types.is_binary(t):
+                big = pa.large_binary()
+            elif pa.types.is_string(t):
+                big = pa.large_string()
+            elif pa.types.is_list(t):
+                big = pa.large_list(t.value_type)
+            else:
+                continue
+            tbl = tbl.set_column(ci, fname, tbl.column(fname).cast(big))
+        tbl = tbl.combine_chunks()
+        if any(tbl.column(c).num_chunks != 1 for c in tbl.column_names):
+            raise RuntimeError(
+                "compact re-encode: combine_chunks left a multi-chunk "
+                "column; raise SPARK_SHUFFLE_PARTITIONS for this index size"
+            )
         dict_arr = pa.compute.dictionary_encode(tbl.column("term").chunk(0))
         tidx = dict_arr.indices.to_numpy()
         vocab = dict_arr.dictionary
@@ -521,7 +544,9 @@ def compact(
         cols = encode_partition_blocks(term_rep, buck_rep, docs, tfs, norms, impacts)
         yield pa.RecordBatch.from_arrays(
             [
-                vocab.take(pa.array(cols["term"], type=pa.int32())),
+                # per-block term rows are small — back to 32-bit offsets
+                # to match BLOCKS_SCHEMA's string type
+                vocab.take(pa.array(cols["term"], type=pa.int32())).cast(pa.string()),
                 pa.array(np.asarray(cols["bucket_id"], dtype=np.int64)),
                 pa.array(np.asarray(cols["block_id"], dtype=np.int32)),
                 pa.array(np.asarray(cols["first_doc"], dtype=np.int64)),

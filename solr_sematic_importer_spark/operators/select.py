@@ -186,21 +186,33 @@ def select(
                               highlighting=hl_df, explain=explain_df,
                               _cached=cached[0])
 
-    def _empty_facets() -> dict:
-        out = {
-            f: spark.createDataFrame([], f"{f} string, cnt long")
-            for f in facet_fields
-        }
-        for name in (facet_ranges or {}):
-            out[name] = spark.createDataFrame([], f"{name} string, cnt long")
+    def _facets_over(matched_fields: DataFrame) -> dict:
+        """Every facet flavor over ONE (semi-joined) stored-field frame.
+        The zero-match path reuses this with ``fields.limit(0)`` so empty
+        facet frames carry EXACTLY the schema (names AND dtypes) of the
+        matching path — a long-typed json.facet agg stays long, a date
+        range bucket stays date — and unions across requests never
+        schema-mismatch."""
+        out: dict = {}
+        for f in facet_fields:
+            out[f] = matched_fields.groupBy(f).agg(F.count("*").alias("cnt"))
+        for name, bucket in (facet_ranges or {}).items():
+            out[name] = (
+                matched_fields.select(bucket.alias(name))
+                .groupBy(name)
+                .agg(F.count("*").alias("cnt"))
+            )
         for pivot in facet_pivots:
-            cols = ", ".join(f"{p} string" for p in pivot)
-            out[",".join(pivot)] = spark.createDataFrame([], f"{cols}, cnt long")
+            out[",".join(pivot)] = (
+                matched_fields.groupBy(*pivot).agg(F.count("*").alias("cnt"))
+            )
         if json_facet is not None:
             jf_field, jf_aggs = json_facet
-            cols = ", ".join(f"{name} double" for name, _ in jf_aggs)
-            out[f"json:{jf_field}"] = spark.createDataFrame(
-                [], f"{jf_field} string, count long" + (", " + cols if cols else "")
+            agg_cols = [fn(F.col).alias(name) for name, fn in jf_aggs]
+            out[f"json:{jf_field}"] = (
+                matched_fields.groupBy(jf_field)
+                .agg(F.count("*").alias("count"), *agg_cols)
+                .orderBy(F.col("count").desc(), F.col(jf_field).asc())
             )
         return out
 
@@ -215,7 +227,11 @@ def select(
                 f"{collapse_field} string, " if collapse_field else ""
             ) + "score double"
         )
-        return _finish(empty_docs, _empty_facets(), 0 if with_num_found else None)
+        return _finish(
+            empty_docs,
+            _facets_over(fields.limit(0)) if any_facet else {},
+            0 if with_num_found else None,
+        )
 
     # 2+3. boost, then collapse FIRST relative to rerank ({!collapse} is
     # an fq PostFilter applied at collection time, so rq reranks the
@@ -227,15 +243,23 @@ def select(
     # one INNER join when both are present (docs absent from the
     # stored-field table are dropped by collapse either way; a present
     # doc with a NULL boost value still coalesces to the identity).
-    if boost is not None or collapse_field:
+    # sort_field rides the SAME shared join (it would otherwise be a
+    # second stored-field join in step 7 — an extra AQE-materialized job,
+    # and an ambiguous-column crash when sort_field == collapse_field).
+    # The elevation path never reaches step 7 and orders by rank, so it
+    # keeps the join minimal.
+    carry_sort = bool(sort_field) and sort_field != collapse_field and not elevate_ids
+    if boost is not None or collapse_field or carry_sort:
         proj = [F.col("doc_id")]
         if boost is not None:
             proj.append(boost.cast("double").alias("_boost"))
         if collapse_field:
             proj.append(F.col(collapse_field))
+        if carry_sort:
+            proj.append(F.col(sort_field))
         per_doc = per_doc.join(
             fields.select(*proj), "doc_id",
-            "inner" if collapse_field else "left",
+            "inner" if (collapse_field or carry_sort) else "left",
         )
     if boost is not None:
         ident = 1.0 if boost_mode == "multiply" else 0.0
@@ -244,7 +268,11 @@ def select(
             if boost_mode == "multiply"
             else F.col("score") + F.coalesce(F.col("_boost"), F.lit(ident))
         )
-        keep = ["doc_id"] + ([collapse_field] if collapse_field else [])
+        keep = (
+            ["doc_id"]
+            + ([collapse_field] if collapse_field else [])
+            + ([sort_field] if carry_sort else [])
+        )
         per_doc = per_doc.select(*keep, op.alias("score"))
     if collapse_field:
         from pyspark.sql.window import Window
@@ -290,7 +318,14 @@ def select(
     # (already reduced, one-row-per-doc) match set when more than one
     # section will read it, so scoring runs ONCE per request. The caller
     # releases it via SelectResponse.release().
-    n_sections = 1 + (1 if any_facet else 0) + (1 if with_num_found else 0)
+    n_sections = (
+        1
+        + (1 if any_facet else 0)
+        + (1 if with_num_found else 0)
+        # hl and debug re-read the page (built on per_doc) when collected
+        + (1 if hl_source is not None else 0)
+        + (1 if debug else 0)
+    )
     if n_sections >= 2:
         per_doc = per_doc.persist()
         cached[0] = per_doc
@@ -299,29 +334,9 @@ def select(
     #    flavor shares ONE semi-joined stored-field frame
     facets: dict = {}
     if any_facet:
-        matched_fields = fields.join(
-            per_doc.select("doc_id"), "doc_id", "left_semi"
+        facets = _facets_over(
+            fields.join(per_doc.select("doc_id"), "doc_id", "left_semi")
         )
-        for f in facet_fields:
-            facets[f] = matched_fields.groupBy(f).agg(F.count("*").alias("cnt"))
-        for name, bucket in (facet_ranges or {}).items():
-            facets[name] = (
-                matched_fields.select(bucket.alias(name))
-                .groupBy(name)
-                .agg(F.count("*").alias("cnt"))
-            )
-        for pivot in facet_pivots:
-            facets[",".join(pivot)] = (
-                matched_fields.groupBy(*pivot).agg(F.count("*").alias("cnt"))
-            )
-        if json_facet is not None:
-            jf_field, jf_aggs = json_facet
-            agg_cols = [fn(F.col).alias(name) for name, fn in jf_aggs]
-            facets[f"json:{jf_field}"] = (
-                matched_fields.groupBy(jf_field)
-                .agg(F.count("*").alias("count"), *agg_cols)
-                .orderBy(F.col("count").desc(), F.col(jf_field).asc())
-            )
 
     num_found = int(per_doc.count()) if with_num_found else None
 
@@ -391,13 +406,15 @@ def select(
             page = page.filter(F.col("rank") >= start)
         return _finish(page.orderBy("rank").limit(rows), facets, num_found)
 
-    # 7. sort + paging
+    # 7. sort + paging (sort_field was carried through the shared
+    #    stored-field join above — no second join here)
     if sort_field:
-        per_doc = per_doc.join(fields.select("doc_id", sort_field), "doc_id")
         key = F.col(sort_field).asc() if sort_ascending else F.col(sort_field).desc()
         order = [key, F.col("doc_id").asc()]
         out_cols = ["doc_id", sort_field] + (
-            [collapse_field] if collapse_field else []
+            [collapse_field]
+            if collapse_field and collapse_field != sort_field
+            else []
         ) + ["score"]
     else:
         order = [F.col("score").desc(), F.col("doc_id").asc()]
@@ -406,11 +423,24 @@ def select(
         # keyset over the ACTIVE sort spec (Solr cursorMark semantics)
         last_key, last_doc = cursor_mark[0], int(cursor_mark[1])
         if sort_field:
+            # NULL sort keys order the way Spark sorts them (asc = NULLS
+            # FIRST, desc = NULLS LAST); a plain >/== keyset would return
+            # NULL for every row once the cursor lands on a NULL key and
+            # silently truncate pagination, so the predicate is spelled
+            # out per null-region.
             sk = F.col(sort_field)
-            ahead = sk > F.lit(last_key) if sort_ascending else sk < F.lit(last_key)
-            per_doc = per_doc.filter(
-                ahead | ((sk == F.lit(last_key)) & (F.col("doc_id") > last_doc))
-            )
+            if last_key is None:
+                cond = sk.isNull() & (F.col("doc_id") > last_doc)
+                if sort_ascending:
+                    cond = cond | sk.isNotNull()
+            else:
+                ahead = (
+                    sk > F.lit(last_key) if sort_ascending else sk < F.lit(last_key)
+                )
+                cond = ahead | ((sk == F.lit(last_key)) & (F.col("doc_id") > last_doc))
+                if not sort_ascending:
+                    cond = cond | sk.isNull()
+            per_doc = per_doc.filter(cond)
         else:
             last_score = float(last_key)
             per_doc = per_doc.filter(

@@ -209,6 +209,7 @@ def write_rp_lsh_index(
     planes = _planes(dim, bits, seed)
     shift = bits - prefix_bits
     vec_type = df.schema[vec_col].dataType.simpleString()
+    id_type = df.schema[id_col].dataType.simpleString()
 
     def sketch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -218,7 +219,7 @@ def write_rp_lsh_index(
             vals = ((mat @ planes) > 0) @ (1 << np.arange(bits, dtype=np.int64))
             yield pd.DataFrame(
                 {
-                    "vec_id": pdf[id_col].to_numpy(),
+                    id_col: pdf[id_col].to_numpy(),
                     vec_col: pdf[vec_col],
                     "sketch": vals,
                     "prefix": (vals >> shift).astype(np.int32),
@@ -229,7 +230,8 @@ def write_rp_lsh_index(
         df.select(id_col, vec_col)
         .mapInPandas(
             sketch,
-            schema=f"vec_id long, {vec_col} {vec_type}, sketch long, prefix int",
+            schema=f"`{id_col}` {id_type}, {vec_col} {vec_type}, "
+            "sketch long, prefix int",
         )
         .write.mode("overwrite")
         .partitionBy("prefix")

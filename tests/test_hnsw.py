@@ -119,3 +119,29 @@ def test_routed_build_probe_recall(spark):
          for r in hnsw_query(graphs2, qv, k=10, probe=probe).collect()]
     assert a == b
     emb.unpersist()
+
+
+def test_routed_build_ships_centroid_metadata(spark):
+    """Zero-job probe routing: the routed build stashes its driver-known
+    k-means centroids as column metadata, so hnsw_query(probe=m) never
+    has to collect centroids from the (possibly unpersisted) graph table
+    — which would build every graph once for routing and again for the
+    probed search."""
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((4, 16)) * 3.0
+    rows = [
+        (i, [float(x) for x in centers[i % 4] + rng.standard_normal(16) * 0.3])
+        for i in range(160)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    graphs = hnsw_build(emb, 16, route_clusters=4, m=8, ef_construction=50)
+    meta = graphs.schema["part_id"].metadata
+    assert meta["route_dim"] == 16
+    flat = meta["route_centroids_flat"]
+    assert len(flat) == 4 * 16
+    cents = [flat[i * 16:(i + 1) * 16] for i in range(4)]
+    for c in cents:  # unit-normalized for the dot-product ranking
+        assert abs(sum(x * x for x in c) - 1.0) < 1e-9
+    # probing over the UNPERSISTED lazy build works and finds self
+    got = hnsw_query(graphs, rows[3][1], k=5, probe=2).collect()
+    assert got and got[0]["vec_id"] == 3

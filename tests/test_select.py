@@ -426,3 +426,81 @@ def test_select_boost_collapse_shared_join_edges(idx, fields):
     assert absent not in gotc
     if present in gotc:  # it may lose its group's collapse to a peer
         assert gotc[present] == pytest.approx(base[present], rel=1e-12)
+
+
+@pytest.fixture(scope="module")
+def fields_nullable(fields):
+    """Stored fields where every third doc has a NULL sort key — NULLs
+    participate in field sorts (Spark: asc=NULLS FIRST, desc=NULLS LAST)
+    and the cursor keyset must walk through the NULL region."""
+    f = fields.withColumn(
+        "n_chars",
+        F.when(F.col("doc_id") % 3 == 0, F.lit(None)).otherwise(
+            F.col("n_chars")
+        ),
+    )
+    f.persist().count()
+    return f
+
+
+def test_select_cursor_field_sort_null_keys(idx, fields_nullable):
+    """A cursor that lands on a NULL-keyed row must not truncate
+    pagination: sk > NULL / sk == NULL are NULL under SQL semantics, so
+    the keyset spells out the null region explicitly per direction."""
+    for asc in (True, False):
+        full = select(idx, Q, fields=fields_nullable, sort_field="n_chars",
+                      sort_ascending=asc, rows=100000).docs.collect()
+        assert any(x["n_chars"] is None for x in full)
+        assert any(x["n_chars"] is not None for x in full)
+        # page size chosen so the walk crosses the NULL/non-NULL border
+        # mid-page AND lands a cursor inside the NULL region
+        page_rows = max(2, len(full) // 7)
+        pages, cur = [], None
+        for _ in range(12):
+            kw = {"cursor_mark": cur} if cur is not None else {}
+            p = select(idx, Q, fields=fields_nullable, sort_field="n_chars",
+                       sort_ascending=asc, rows=page_rows, **kw).docs.collect()
+            if not p:
+                break
+            pages += p
+            cur = (p[-1]["n_chars"], p[-1]["doc_id"])
+        assert [x["doc_id"] for x in pages] == [x["doc_id"] for x in full]
+
+
+def test_select_sort_field_same_as_collapse(idx, fields):
+    """sort on the collapse field rides the one shared stored-field join
+    instead of joining it twice (which raised AMBIGUOUS_REFERENCE)."""
+    r = select(idx, Q, fields=fields, collapse_field="grp",
+               sort_field="grp", sort_ascending=True, rows=50)
+    rows = r.docs.collect()
+    assert rows
+    grps = [x["grp"] for x in rows]
+    assert grps == sorted(grps)
+    assert len(set(grps)) == len(grps)  # collapsed: one doc per group
+    assert set(r.docs.columns) == {"doc_id", "grp", "score"}
+    # winners are the collapse winners (max score, doc_id tie-break)
+    want = {
+        (x["grp"], x["doc_id"])
+        for x in select(idx, Q, fields=fields, collapse_field="grp",
+                        rows=50).docs.collect()
+    }
+    assert {(x["grp"], x["doc_id"]) for x in rows} == want
+
+
+def test_select_empty_facets_match_nonempty_schema(idx, fields):
+    """A zero-match request's facet frames must carry EXACTLY the dtypes
+    of the matching path (long stays long, range buckets keep their
+    type) so cross-request unions never schema-mismatch."""
+    jf = ("grp", [("sum_chars", lambda col: F.sum(col("n_chars")))])
+    rngs = {"len_bucket": (F.col("n_chars") / 10).cast("long")}
+    hit = select(idx, Q, fields=fields, facet_fields=("grp",),
+                 json_facet=jf, facet_ranges=rngs)
+    miss = select(idx, "zzznosuchterm", fields=fields,
+                  facet_fields=("grp",), json_facet=jf, facet_ranges=rngs)
+    assert set(hit.facets) == set(miss.facets)
+    for k in hit.facets:
+        assert hit.facets[k].schema == miss.facets[k].schema, k
+        assert hit.facets[k].unionByName(miss.facets[k]).count() == \
+            hit.facets[k].count()
+    hit.release()
+    miss.release()

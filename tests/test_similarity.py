@@ -151,3 +151,38 @@ def test_radius_prefixes_exact_cover():
     assert got == {0b1010, 0b1011, 0b1000, 0b1110, 0b0010}
     # radius >= prefix_bits degenerates to every prefix
     assert len(_radius_prefixes(3, 4, 6)) == 16
+
+
+def test_rp_lsh_index_custom_id_col(spark, tmp_path):
+    """The serving index honors a non-default id_col end-to-end: the
+    writer stores the id under the CALLER'S column name and dtype (it
+    previously hardcoded `vec_id long`, so any other id_col crashed the
+    query with an unresolved-column error)."""
+    from pyspark.sql import functions as F
+
+    from solr_sematic_importer_spark.operators.similarity_search import (
+        rp_lsh_cosine_topk,
+        rp_lsh_index_topk,
+        write_rp_lsh_index,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .withColumnRenamed("vec_id", "doc_id")
+    )
+    dim = len(emb.first()["embedding"])
+    qv = [float(x) for x in emb.filter(F.col("doc_id") == 7).first()["embedding"]]
+    path = str(tmp_path / "lshidx_docid")
+    write_rp_lsh_index(emb, path, dim=dim, bits=16, prefix_bits=8, id_col="doc_id")
+
+    got = rp_lsh_index_topk(
+        spark, path, qv, dim=dim, k=10, bits=16, prefix_bits=8, radius=3,
+        id_col="doc_id",
+    )
+    assert "doc_id" in got.columns
+    want = rp_lsh_cosine_topk(
+        emb, qv, dim=dim, k=10, bits=16, radius=3, id_col="doc_id"
+    )
+    g = [(r["doc_id"], round(r["cosine"], 9)) for r in got.collect()]
+    w = [(r["doc_id"], round(r["cosine"], 9)) for r in want.collect()]
+    assert g == w and g[0][0] == 7
