@@ -203,9 +203,16 @@ def decode_blocks_to_flat(blocks: DataFrame) -> DataFrame:
 def write_blocks(blocks: DataFrame, path: str) -> None:
     """Persist block postings partitioned for query-side pruning: sorted by
     (term, bucket_id) inside files so parquet min/max stats prune term
-    lookups without reading pages."""
+    lookups without reading pages.
+
+    The shuffle key is (term, bucket_id) — the same salt the encode path
+    groups by — NOT term alone: with the default empty stopword file a
+    hot term ("the") holds postings in ~half of all docs, and hashing by
+    term would funnel that term's entire multi-GB block set into one
+    write task. Per-file (term, bucket) sorting preserves the min/max
+    pruning either way."""
     (
-        blocks.repartition("term")
+        blocks.repartition("term", "bucket_id")
         .sortWithinPartitions("term", "bucket_id", "block_id")
         .write.mode("overwrite")
         .parquet(path)
@@ -401,7 +408,12 @@ def bm25_topk_wand(
             )
         th = theta()
         if th > float("-inf"):
-            nxt = nxt.filter(F.col("ub") > th)  # WAND prune, pushed down
+            # prune with >=, not >: a bucket whose bound is EXACTLY theta
+            # can still hold a doc at score theta with a smaller doc_id,
+            # which wins the (score desc, doc_id asc) tie-break — the same
+            # comparison the heap itself uses. Strict > here would drop
+            # that doc and diverge from the exhaustive scorer on ties.
+            nxt = nxt.filter(F.col("ub") >= th)  # WAND prune, pushed down
         batch_rows = (
             nxt.orderBy(F.col("ub").desc(), F.col("bucket_id").asc())
             .limit(bucket_batch)

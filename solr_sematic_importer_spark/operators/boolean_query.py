@@ -32,6 +32,15 @@ from ..functions.similarity import B_DEFAULT, K1_DEFAULT, idf
 from .build import InvertedIndex, term_dfs
 from .score import analyze_query
 
+# Sentinel: the clause ANALYZED TO NOTHING (e.g. a lone stopword under
+# text_en) and must vanish from the query — Lucene's classic parser drops
+# such clauses at parse time, so "merge AND the" degrades to "merge".
+# Distinct from None, which means the clause EXISTS but matches no docs
+# (df=0): an unmatchable MUST correctly empties the result, and an
+# unmatched SHOULD still counts as a positive clause, blocking the
+# pure-negative rewrite.
+DROPPED_CLAUSE = object()
+
 
 def boolean_query_topk(
     index: InvertedIndex,
@@ -48,7 +57,7 @@ def boolean_query_topk(
     clauses = parse_query(q)
     ev = _Evaluator(index, positions, k1, b, quantize)
     scored = ev.combine(clauses, top_level=True)
-    if scored is None:
+    if scored is None or scored is DROPPED_CLAUSE:
         return spark.createDataFrame([], out_schema)
     if index.deletes is not None:
         scored = scored.join(index.deletes.select("doc_id"), "doc_id", "left_anti")
@@ -91,10 +100,10 @@ class _Evaluator:
 
     # ---- leaf scorers: DataFrame (doc_id, s) or None when unmatchable ----
 
-    def term_scores(self, text: str, boost: float) -> DataFrame | None:
+    def term_scores(self, text: str, boost: float):
         terms = analyze_query(text, self.index.profile)
         if not terms:
-            return None
+            return DROPPED_CLAUSE  # analyzed away (stopword) — not "df=0"
         dfs = {t: d for t, d in self._df_of(terms).items() if d > 0}
         if not dfs:
             return None
@@ -117,17 +126,18 @@ class _Evaluator:
             ).alias("s")
         )
 
-    def phrase_scores(self, text: str, boost: float, slop: int = 0) -> DataFrame | None:
+    def phrase_scores(self, text: str, boost: float, slop: int = 0):
+        terms, poss = analyze_with_positions(text, self.index.profile)
+        if not terms:
+            # whole phrase analyzed away — drops before the positions
+            # requirement (nothing left to position-match)
+            return DROPPED_CLAUSE
         if self.positions is None:
             raise ValueError(
                 "phrase clause requires a positions table "
                 "(operators.phrase.build_positions)"
             )
         from .phrase import phrase_match_counts
-
-        terms, poss = analyze_with_positions(text, self.index.profile)
-        if not terms:
-            return None
         dfs = self._df_of(sorted(set(terms)))
         if any(dfs.get(t, 0) == 0 for t in terms):
             return None
@@ -221,8 +231,8 @@ class _Evaluator:
             return self.range_scores(c)
         if c.kind == "group":
             sub = self.combine(c.children, top_level=False)
-            if sub is None:
-                return None
+            if sub is None or sub is DROPPED_CLAUSE:
+                return sub
             return sub.select(
                 "doc_id", (F.col("score") * F.lit(float(c.boost))).alias("s")
             )
@@ -230,18 +240,22 @@ class _Evaluator:
 
     # ---- boolean combine --------------------------------------------------
 
-    def combine(self, clauses: list[Clause], top_level: bool) -> DataFrame | None:
+    def combine(self, clauses: list[Clause], top_level: bool):
         spark = self.index.postings_flat.sparkSession
         parts: list[tuple[int, str, DataFrame]] = []
         prohibited: list[DataFrame] = []
         must_ids: list[int] = []
         unmatchable_must = False
+        has_positive = False  # a positive clause SURVIVED analysis
         for c in clauses:
             df = self.clause_scores(c)
             if c.occur == MUST_NOT:
-                if df is not None:
+                if df is not None and df is not DROPPED_CLAUSE:
                     prohibited.append(df.select("doc_id"))
                 continue
+            if df is DROPPED_CLAUSE:
+                continue  # the classic parser drops analyzed-empty clauses
+            has_positive = True
             if df is None:
                 if c.occur == MUST:
                     unmatchable_must = True
@@ -254,7 +268,11 @@ class _Evaluator:
         if unmatchable_must:
             return None
         if not parts:
-            if top_level and prohibited:
+            # the rewrite only applies when the query is EFFECTIVELY pure
+            # negative (no positive clause survived analysis); a positive
+            # clause that merely matched nothing (df=0 SHOULD) keeps
+            # BooleanQuery semantics: zero results, never the corpus
+            if top_level and prohibited and not has_positive:
                 # Solr's pure-negative rewrite: *:* minus the exclusions
                 base = self.index.doc_stats.select(
                     "doc_id", F.lit(1.0).alias("score")
@@ -262,6 +280,8 @@ class _Evaluator:
                 for p in prohibited:
                     base = base.join(p, "doc_id", "left_anti")
                 return base
+            if not has_positive and not prohibited:
+                return DROPPED_CLAUSE  # every clause analyzed away
             return None
 
         unioned = None

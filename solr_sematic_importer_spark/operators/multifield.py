@@ -399,6 +399,7 @@ def fielded_query_topk(
     from ..functions.queryparser import (
         MUST, MUST_NOT, QueryParseError, parse_query,
     )
+    from .boolean_query import DROPPED_CLAUSE
     from .score import analyze_query
 
     spark = index.postings.sparkSession
@@ -418,7 +419,9 @@ def fielded_query_topk(
         """(doc_id, s) summed over the clause's analyzed tokens x fields."""
         terms = analyze_query(text, index.profile)
         if not terms:
-            return None
+            # analyzed away (stopword): the classic parser DROPS the
+            # clause; distinct from df=0 which keeps it (matching nothing)
+            return DROPPED_CLAUSE
         counts = Counter(terms)
         dfs = field_term_dfs(index, list(field_weights), list(counts))
         weights = [
@@ -491,22 +494,27 @@ def fielded_query_topk(
         if c.kind == "prefix":
             return _constant_docs(c.field, F.col("term").startswith(c.text), c.boost)
         if c.kind == "wildcard":
-            import re as _re
+            from .score import wildcard_to_regex
 
-            pat = "^" + _re.escape(c.text).replace(r"\*", ".*").replace(r"\?", ".") + "$"
-            return _constant_docs(c.field, F.col("term").rlike(pat), c.boost)
+            return _constant_docs(
+                c.field, F.col("term").rlike(wildcard_to_regex(c.text)), c.boost
+            )
         raise QueryParseError(
             f"fielded {c.kind!r} clauses are not supported on the "
             "multi-field index (supported: term, prefix, wildcard)"
         )
 
     pos_parts, must_docs, not_docs = [], [], []
+    has_positive = False  # a positive clause survived analysis
     for cid, c in enumerate(clauses):
         sdf = clause_df(c)
         if c.occur == MUST_NOT:
-            if sdf is not None:
+            if sdf is not None and sdf is not DROPPED_CLAUSE:
                 not_docs.append(sdf.select("doc_id"))
             continue
+        if sdf is DROPPED_CLAUSE:
+            continue  # the classic parser drops analyzed-empty clauses
+        has_positive = True
         if sdf is None:
             if c.occur == MUST:
                 return empty  # unmatched MUST term -> no results
@@ -516,6 +524,17 @@ def fielded_query_topk(
             must_docs.append(sdf.select("doc_id"))
 
     if not pos_parts:
+        if not_docs and not has_positive:
+            # Solr's pure-negative rewrite (same semantics as the
+            # single-field boolean engine): *:* minus the exclusions
+            base = index.doc_stats.select("doc_id", F.lit(1.0).alias("score"))
+            for p in not_docs:
+                base = base.join(p, "doc_id", "left_anti")
+            return (
+                base.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                .limit(k)
+                .select("doc_id", "score")
+            )
         return empty
     unioned = pos_parts[0]
     for p in pos_parts[1:]:

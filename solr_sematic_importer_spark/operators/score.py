@@ -667,7 +667,12 @@ def bm25_grouped_topk(
     spark = index.postings_flat.sparkSession
     scored = score_or_docs(index, query, k1=k1, b=b, quantize=quantize)
     if scored is None:
-        return spark.createDataFrame([], f"{group_col} string, doc_id long, score double")
+        # dtype of the group column follows the caller's frame, so the
+        # zero-hit schema matches the matching path exactly
+        grp_type = dict(groups.dtypes)[group_col]
+        return spark.createDataFrame(
+            [], f"{group_col} {grp_type}, doc_id long, score double"
+        )
     joined = scored.join(groups.select("doc_id", group_col), "doc_id")
     w = Window.partitionBy(group_col).orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
@@ -758,8 +763,23 @@ def explain_topk(
         return spark.createDataFrame(
             [], "doc_id long, term string, tf long, df long, idf double, partial double"
         )
+    # Derive the top-k FROM the partials (one scoring pass, not a second
+    # bm25_topk rescore): the term-sorted fold below is the identical
+    # accumulation score_or_docs performs — partial == its per-(doc,term)
+    # s (w already carries the duplicate-token multiplicity) — so the
+    # scores and tie-breaks are bit-identical to bm25_topk's.
+    per_doc = partials.groupBy("doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "partial"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["partial"],
+        ).alias("score")
+    )
+    if index.deletes is not None:  # the same mask bm25_topk applies
+        per_doc = per_doc.join(index.deletes.select("doc_id"), "doc_id", "left_anti")
     top = (
-        bm25_topk(index, query, k=k, k1=k1, b=b, quantize=quantize)
+        per_doc.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
         .select("doc_id")
     )
     return partials.join(F.broadcast(top), "doc_id", "left_semi")

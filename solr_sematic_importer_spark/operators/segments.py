@@ -569,7 +569,11 @@ def compact(
     )
 
     out_dir = f"{path}/segments/{out_key}"
-    passthrough.unionByName(merged).repartition("term").sortWithinPartitions(
+    # (term, bucket_id) shuffle key, like write_blocks: term alone would
+    # funnel a hot term's whole block set into one write task
+    passthrough.unionByName(merged).repartition(
+        "term", "bucket_id"
+    ).sortWithinPartitions(
         "term", "bucket_id", "block_id"
     ).write.mode("overwrite").parquet(f"{out_dir}/postings_blocks")
     blocks_r = spark.read.parquet(f"{out_dir}/postings_blocks")

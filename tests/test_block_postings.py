@@ -224,3 +224,36 @@ def test_flat_terms_filters_blocks_scan_before_decode(spark, tmp_path):
         for r in disk.flat_terms(["zeppelin", "quartz"]).collect()
     }
     assert fast == full and fast
+
+
+def test_wand_exact_ties_across_buckets(spark):
+    """Exact score ties spread across buckets: the WAND prune keeps
+    buckets whose upper bound EQUALS theta (>=, not >) so a tied doc
+    with a smaller doc_id can still win the (score desc, doc_id asc)
+    tie-break — bit-identical rows to the exhaustive scorer, ties
+    included (round-5 review)."""
+    texts = [
+        "tied term alpha beta",
+        "tied term gamma delta",
+        "other filler words here",
+    ]
+    rows = [
+        (rep * 100 + i, t)
+        for rep in range(6)
+        for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_index(
+        df, text_col="text", key_cols=(), profile="simple", doc_id_col="doc_id"
+    )
+    blocks = build_block_postings(idx, bucket_bits=6)  # ids span 8+ buckets
+    blocks.persist().count()
+    for k in (1, 5, 11, 12, 13):
+        want = [(r["doc_id"], r["score"])
+                for r in bm25_topk(idx, "tied", k=k).select("doc_id", "score")
+                .collect()]
+        got = [(r["doc_id"], r["score"])
+               for r in bm25_topk_wand(idx, "tied", k=k, bucket_batch=1)
+               .collect()]
+        assert got == want, k
+    blocks.unpersist()

@@ -302,3 +302,53 @@ def test_unmatchable_must_empty(idx):
     index, _ = idx
     assert boolean_query_topk(index, "+zzzmissing merge", k=10).count() == 0
     assert boolean_query_topk(index, "zzzmissing", k=10).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# analyzed-empty clauses vs df=0 clauses (round-5 review)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def idx_en(spark):
+    docs = spark.createDataFrame(TEXTS, "doc_id long, text string")
+    return build_index(
+        docs, text_col="text", key_cols=(), profile="text_en", doc_id_col="doc_id"
+    )
+
+
+def test_stopword_must_clause_is_dropped(idx_en):
+    """Lucene's classic parser DROPS a clause that analyzes to nothing
+    (a lone stopword under text_en) — "merge AND the" degrades to
+    "merge", it does not empty the result set."""
+    want = _rows(boolean_query_topk(idx_en, "merge", k=10, quantize=False))
+    assert want
+    got = _rows(boolean_query_topk(idx_en, "merge AND the", k=10, quantize=False))
+    assert got == want
+    # a group that analyzes away entirely drops the same way
+    got2 = _rows(boolean_query_topk(idx_en, "merge AND (the of)", k=10,
+                                    quantize=False))
+    assert got2 == want
+    # a phrase that analyzes away drops too (no positions table needed)
+    got3 = _rows(boolean_query_topk(idx_en, 'merge AND "the of"', k=10,
+                                    quantize=False))
+    assert got3 == want
+    # the whole query analyzing away matches nothing
+    assert boolean_query_topk(idx_en, "the of", k=10).count() == 0
+
+
+def test_unmatched_positive_blocks_pure_negative_rewrite(idx):
+    """A positive clause that tokenizes but matches nothing (df=0) keeps
+    BooleanQuery semantics: zero results — NOT the pure-negative rewrite
+    dumping the corpus minus the exclusions."""
+    index, _ = idx
+    assert boolean_query_topk(index, "zzzmissing -merge", k=100).count() == 0
+
+
+def test_effective_pure_negative_after_stopword_drop(idx_en):
+    """Once every positive clause is dropped at analysis, what remains
+    IS a top-level pure-negative query and the Solr rewrite applies."""
+    got = {r["doc_id"]
+           for r in boolean_query_topk(idx_en, "the -merge", k=100).collect()}
+    merge_docs = {0, 1, 2, 5}
+    assert got == set(range(len(TEXTS))) - merge_docs

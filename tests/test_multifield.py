@@ -201,3 +201,33 @@ def test_fielded_unqualified_matches_qf_sum(mf):
 def test_fielded_unsupported_kind_raises(mf):
     with pytest.raises(QueryParseError, match="not supported"):
         fielded_query_topk(mf, "title:[alpha TO beta]", k=4).collect()
+
+
+def test_fielded_stopword_must_dropped(spark):
+    """A fielded MUST clause that analyzes to nothing (stopword under
+    text_en) is DROPPED like Lucene's parser does — it must not empty
+    the whole query (round-5 review)."""
+    df = spark.createDataFrame(ROWS, "doc_id long, title string, body string")
+    mfe = build_multifield_index(
+        df, fields=("title", "body"), profile="text_en", doc_id_col="doc_id"
+    )
+    want = [(r["doc_id"], round(r["score"], 9))
+            for r in fielded_query_topk(mfe, "title:spark", k=4,
+                                        quantize=False).collect()]
+    assert want
+    got = [(r["doc_id"], round(r["score"], 9))
+           for r in fielded_query_topk(mfe, "+title:spark +title:the", k=4,
+                                       quantize=False).collect()]
+    assert got == want
+    mfe.release()
+
+
+def test_fielded_pure_negative_rewrite(mf):
+    """A top-level pure-negative fielded query applies Solr's rewrite
+    (*:* minus exclusions at 1.0), matching the single-field engine —
+    previously it silently returned 0 results."""
+    rows = fielded_query_topk(mf, "-title:draft", k=10).collect()
+    assert {r["doc_id"] for r in rows} == {0, 1, 3}
+    assert all(r["score"] == 1.0 for r in rows)
+    # but a df=0 positive clause still blocks the rewrite
+    assert fielded_query_topk(mf, "title:zzzznope -title:draft", k=10).count() == 0

@@ -177,3 +177,19 @@ def test_mm_conditional_specs_solr_grammar():
     # plain specs unchanged through the same entry point
     assert mm("75%", 4) == 3
     assert mm(-1, 5) == 4
+
+
+def test_grouped_zero_match_schema_follows_group_dtype(spark, idx):
+    """The zero-hit empty frame derives the group column dtype from the
+    caller's groups frame (an int grp stays int), so unions across
+    queries never schema-mismatch (round-5 review)."""
+    from solr_sematic_importer_spark.operators.score import bm25_grouped_topk
+
+    groups_int = idx.doc_stats.select(
+        "doc_id", (F.col("doc_id") % 3).alias("grp")
+    )
+    hit = bm25_grouped_topk(idx, "you one word", groups_int, k=5)
+    miss = bm25_grouped_topk(idx, "zzznosuchterm", groups_int, k=5)
+    assert miss.count() == 0
+    assert miss.schema == hit.schema
+    assert hit.unionByName(miss).count() == hit.count()
