@@ -163,6 +163,8 @@ def build_block_postings(
     index.postings_blocks = blocks
     index.bucket_bits = bucket_bits
     index.impacts_avgdl = index.avgdl
+    index.impact_k1 = float(k1)
+    index.impact_b = float(b)
     return blocks
 
 
@@ -240,6 +242,17 @@ def bm25_topk_wand(
     blocks = index.postings_blocks
     if blocks is None:
         raise ValueError("call build_block_postings(index) first")
+    if index.impact_k1 is not None and (
+        float(k1) != index.impact_k1 or float(b) != index.impact_b
+    ):
+        # stored max_impact folds k1/b into the bound at encode time;
+        # ub_scale only corrects avgdl drift, so a different similarity
+        # would make the bounds invalid and silently drop true top-k docs
+        raise ValueError(
+            f"block impacts were encoded with k1={index.impact_k1}, "
+            f"b={index.impact_b}; query with those values or re-encode "
+            f"via build_block_postings(index, k1={k1}, b={b})"
+        )
     out_schema = "doc_id long, score double"
     terms = analyze_query(query, index.profile)
     if not terms or index.n_docs == 0:

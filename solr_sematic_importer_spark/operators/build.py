@@ -86,8 +86,15 @@ def _stamp_and_analyze(
     key_cols = list(key_cols)
     spark = df.sparkSession
     nparts = max(2 * spark.sparkContext.defaultParallelism, 2)
+    # prune to the columns this stage emits BEFORE the shuffle/cache: a
+    # source table carrying heavy extra columns (embeddings, raw payloads)
+    # would otherwise ride the range shuffle, the MEMORY_AND_DISK cache
+    # and every Arrow batch for nothing (out_schema below only carries
+    # key cols + analysis output)
+    needed = list(dict.fromkeys([*key_cols, text_col]))
     ordered = (
-        df.repartitionByRange(nparts, *key_cols)
+        df.select(*needed)
+        .repartitionByRange(nparts, *key_cols)
         .sortWithinPartitions(*key_cols)
         .withColumn("_pid", F.spark_partition_id())
     )
@@ -180,6 +187,13 @@ class InvertedIndex:
     # UNDERestimate — WAND scales its bounds by avgdl/impacts_avgdl to stay
     # a valid upper bound (see bm25_topk_wand).
     impacts_avgdl: float | None = None
+    # k1/b the block impacts were ENCODED with. max_impact is only a valid
+    # WAND bound for queries scored with the SAME k1/b (Lucene stores
+    # (tf, norm) pairs and recomputes per-similarity; we store the folded
+    # impact, so the parameters are part of the encoding contract) —
+    # bm25_topk_wand raises on a mismatch.
+    impact_k1: float | None = None
+    impact_b: float | None = None
     # True when postings_flat is a lazy DECODE of postings_blocks (blocks-
     # only persistence): a filter on the decoded view cannot be pushed
     # through the Python decode stage, so term-restricted access must go
@@ -359,13 +373,19 @@ def delete_by_query(index: InvertedIndex, predicate) -> InvertedIndex:
     statistics (N, avgdl, df) keep counting deleted docs until a physical
     merge rewrites the segments."""
     newly = index.doc_stats.filter(predicate).select("doc_id")
-    if index.deletes is None:
+    prev = index.deletes
+    if prev is None:
         index.deletes = newly.distinct()
     else:
-        index.deletes = (
-            index.deletes.select("doc_id").unionByName(newly).distinct()
-        )
+        index.deletes = prev.select("doc_id").unionByName(newly).distinct()
     index.deletes.persist()
+    if prev is not None:
+        # release the superseded vector: N successive deletes would
+        # otherwise pin N-1 dead persisted sets for the session lifetime
+        try:
+            prev.unpersist()
+        except Exception:
+            pass
     return index
 
 
@@ -596,6 +616,9 @@ def write_index(
     }
     if index.impacts_avgdl is not None:
         meta["impacts_avgdl"] = repr(float(index.impacts_avgdl))
+    if index.impact_k1 is not None:
+        meta["impact_k1"] = repr(float(index.impact_k1))
+        meta["impact_b"] = repr(float(index.impact_b))
     if index.bucket_bits is not None:
         meta["bucket_bits"] = str(int(index.bucket_bits))
     write_meta_file(index.doc_stats.sparkSession, path, meta)
@@ -658,6 +681,8 @@ def read_index(spark: SparkSession, path: str) -> InvertedIndex:
         impacts_avgdl=(
             float(meta["impacts_avgdl"]) if "impacts_avgdl" in meta else None
         ),
+        impact_k1=float(meta["impact_k1"]) if "impact_k1" in meta else None,
+        impact_b=float(meta["impact_b"]) if "impact_b" in meta else None,
         bucket_bits=int(meta["bucket_bits"]) if "bucket_bits" in meta else None,
         flat_from_blocks=flat_from_blocks,
     )

@@ -74,7 +74,12 @@ MANIFEST_SCHEMA = (
     # append would reuse live ids (silent corruption: joins merge
     # distinct docs, deletes hit both). The watermark records the
     # exhausted range explicitly.
-    "next_doc_id long"
+    "next_doc_id long, "
+    # k1/b the block impacts were ENCODED with: the folded max_impact is
+    # only a valid WAND bound under the same similarity parameters, so
+    # they are part of the encoding contract — uniform across segments
+    # (checked like bucket_bits) and validated at query time.
+    "impact_k1 double, impact_b double"
 )
 
 
@@ -115,6 +120,28 @@ def _require_uniform_bucket_bits(man: pd.DataFrame, op: str) -> int:
             f"{sorted(int(v) for v in vals)}; rebuild or compact per width"
         )
     return int(vals[0])
+
+
+def _require_uniform_impact_params(man: pd.DataFrame, op: str):
+    """The folded block impacts are only mergeable/queryable under ONE
+    (k1, b); mixing parameters across segments silently invalidates WAND
+    bounds. Returns (k1, b), or None for pre-upgrade manifests that never
+    recorded them (their encodes all used the library defaults)."""
+    if "impact_k1" not in man.columns:
+        return None
+    pairs = {
+        (float(r["impact_k1"]), float(r["impact_b"]))
+        for _, r in man.iterrows()
+        if not pd.isna(r["impact_k1"])
+    }
+    if not pairs:
+        return None
+    if len(pairs) != 1:
+        raise ValueError(
+            f"{op}: segments were encoded with differing BM25 parameters "
+            f"{sorted(pairs)}; re-encode to one (k1, b) before merging"
+        )
+    return next(iter(pairs))
 
 
 def _doc_id_watermark(man: pd.DataFrame) -> int:
@@ -178,6 +205,13 @@ def append_segment(
     if len(man) and (man["segment_key"] == segment_key).any():
         row = man[man["segment_key"] == segment_key].iloc[0]
         return AppendResult(segment_key, True, int(row["n_docs"]), int(row["doc_id_offset"]))
+    enc = _require_uniform_impact_params(man, "append_segment") if len(man) else None
+    if enc is not None and (float(k1), float(b)) != enc:
+        raise ValueError(
+            f"append_segment: existing segments encoded impacts with "
+            f"(k1, b)={enc}; appending with ({k1}, {b}) would mix WAND "
+            "bound parameters — pass the matching values"
+        )
 
     # watermark, NOT sum(n_docs): after a compact applied deletes the
     # post-delete counts undercount the exhausted id range (see
@@ -210,6 +244,7 @@ def append_segment(
             float(idx.n_docs / wall if wall else 0.0),
             checksum, profile, int(bucket_bits), time.time(),
             float(idx.avgdl), offset + idx.n_docs,
+            float(k1), float(b),
         )
     ]
     spark.createDataFrame(row, MANIFEST_SCHEMA).coalesce(1).write.mode(
@@ -322,14 +357,17 @@ def read_segmented_index(
     term_stats.persist()
     profile = str(man["profile"].iloc[0])
     key_cols_df = [c for c in doc_stats.columns if c not in ("doc_id", "dl", "dl_quant")]
-    return InvertedIndex(
+    enc_params = _require_uniform_impact_params(man, "read_segmented_index")
+    idx = InvertedIndex(
         doc_stats=doc_stats,
         postings_flat=postings_flat,
         term_stats=term_stats,
         n_docs=int(man["n_docs"].sum()),
         sum_dl=int(man["sum_dl"].sum()),
         profile=profile,
-        key_cols=tuple(["doc_id", *key_cols_df]),
+        # natural key columns ONLY (doc_id is the engine-internal id, not
+        # part of the key) — matching build_index/read_index's contract
+        key_cols=tuple(key_cols_df),
         postings_blocks=blocks,
         deletes=read_deletes(spark, path, as_of=as_of),
         bucket_bits=_require_uniform_bucket_bits(man, "read_segmented_index"),
@@ -337,8 +375,14 @@ def read_segmented_index(
         # segments makes WAND's ub_scale = avgdl_q/impacts_avgdl at least
         # as large as any single segment requires (conservative, valid)
         impacts_avgdl=float(_enc_avgdls(man).min()),
+        impact_k1=enc_params[0] if enc_params else None,
+        impact_b=enc_params[1] if enc_params else None,
         flat_from_blocks=flat_from_blocks,
+        # register the persisted frame so release() can free it (one
+        # leaked cache per read otherwise in micro-batch loops)
+        _caches=[term_stats],
     )
+    return idx
 
 
 def compact(
@@ -386,6 +430,13 @@ def compact(
             "corrupts the index)"
         )
     bucket_bits = _require_uniform_bucket_bits(man, "compact")
+    enc = _require_uniform_impact_params(man, "compact")
+    if enc is not None and (float(k1), float(b)) != enc:
+        raise ValueError(
+            f"compact: segments encoded impacts with (k1, b)={enc}; "
+            f"re-encoding overlap with ({k1}, {b}) would mix WAND bound "
+            "parameters in one output segment — pass the matching values"
+        )
     dirs = list(man["segment_dir"])
     deletes = read_deletes(spark, path)
     if len(man) < 2 and deletes is None:
@@ -397,8 +448,9 @@ def compact(
     # its bounds by avgdl_q/impacts_avgdl to stay valid (the previous
     # claim that stale bounds "remain valid upper bounds either way" was
     # wrong exactly when deletes remove mostly-short docs).
-    avgdl = float(man["sum_dl"].sum()) / float(man["n_docs"].sum())
-    impacts_avgdl = float(min(_enc_avgdls(man).min(), avgdl))
+    total_docs = float(man["n_docs"].sum())
+    avgdl = float(man["sum_dl"].sum()) / total_docs if total_docs else 0.0
+    impacts_avgdl = float(min(_enc_avgdls(man).min(), avgdl)) if total_docs else 0.0
 
     # deletion vector kept BUCKETED (never collected whole to the driver):
     # per-bucket sorted arrays joined onto only the re-encoded groups
@@ -426,7 +478,10 @@ def compact(
             F.shiftright("doc_id", bucket_bits).alias("bucket_id")
         ).distinct()
         touched = (
-            blocks.join(F.broadcast(del_buckets), "bucket_id", "left_semi")
+            # no broadcast hint: the touched-bucket set is bounded by
+            # n_docs >> bucket_bits, which is NOT driver-small at the
+            # 10^12-doc design point — AQE broadcasts it when it is
+            blocks.join(del_buckets, "bucket_id", "left_semi")
             .select("term", "bucket_id")
             .distinct()
         )
@@ -435,7 +490,11 @@ def compact(
 
     passthrough = blocks.join(overlap, ["term", "bucket_id"], "left_anti").drop("_seg")
 
-    to_reencode = blocks.join(F.broadcast(overlap), ["term", "bucket_id"], "left_semi")
+    # no broadcast hint on overlap: a spread-out delete vector can touch
+    # most buckets, making overlap approach vocab x bucket-count rows —
+    # let AQE pick broadcast only when the set is actually small (the
+    # persisted frame gives it real statistics)
+    to_reencode = blocks.join(overlap, ["term", "bucket_id"], "left_semi")
     if del_by_bucket is not None:
         to_reencode = to_reencode.join(del_by_bucket, "bucket_id", "left")
 
@@ -615,6 +674,8 @@ def compact(
             "profile": str(man["profile"].iloc[0]),
             "key_cols": "",
             "impacts_avgdl": repr(impacts_avgdl),
+            "impact_k1": repr(float(k1)),
+            "impact_b": repr(float(b)),
             "bucket_bits": str(bucket_bits),
         },
     )
@@ -631,6 +692,7 @@ def compact(
             0.0, 0.0, int(np.bitwise_xor.reduce(man["checksum"].to_numpy(dtype=np.int64))),
             str(man["profile"].iloc[0]), bucket_bits,
             time.time(), impacts_avgdl, _doc_id_watermark(man),
+            float(k1), float(b),
         )
     ]
     spark.createDataFrame(row, MANIFEST_SCHEMA).coalesce(1).write.mode(
@@ -682,6 +744,9 @@ def update_documents(
         .select("doc_id")
     )
     record_deletes(spark, path, victims)
+    # the victim scan is materialized by record_deletes — free the
+    # read handle's caches before returning (micro-batch hygiene)
+    idx.release()
     return res
 
 
@@ -726,6 +791,10 @@ def get_by_key(
     doc_stats = spark.read.parquet(
         *[f"{d}/doc_stats" for d in man["segment_dir"]]
     )
+    if not keys:
+        # Solr /get with no ids returns nothing — an empty request must
+        # not degenerate into a full-corpus scan (pred stays None below)
+        return doc_stats.limit(0)
     pred = None
     for kt in keys:
         kt = kt if isinstance(kt, (tuple, list)) else (kt,)
@@ -756,8 +825,14 @@ def maybe_compact(
     ``compact`` (applying deletes physically); otherwise do nothing.
     Call after each ``append_segment`` for a self-maintaining index —
     the amortized merge cost pattern of every LSM store. Returns the new
-    segment dir when a merge ran, else None."""
+    segment dir when a merge ran, else None.
+
+    Two triggers: segment count > ``max_segments``, OR a pending durable
+    deletion vector (so recorded deletes are eventually applied
+    physically and queries stop paying the anti-join/zeroing cost, even
+    on an index that never accumulates many segments — compact clears
+    the vector, so this trigger self-quiesces)."""
     man = read_manifest(spark, path)
-    if len(man) <= max_segments:
+    if len(man) <= max_segments and read_deletes(spark, path) is None:
         return None
     return compact(spark, path, out_key=out_key, k1=k1, b=b)

@@ -337,3 +337,109 @@ def test_maybe_compact_triggers_on_segment_count(spark, tmp_path):
     merged = read_segmented_index(spark, path)
     assert merged.n_docs == full.count()
     full.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# round-5 review: encode-parameter contract, /get edge, triggers, hygiene
+# ---------------------------------------------------------------------------
+
+
+def _n_persistent(sp):
+    return sp.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+
+def test_impact_params_are_an_encoding_contract(spark, tmp_path):
+    """k1/b fold into the stored max_impact bounds, so they are part of
+    the segment encoding: appends must agree, WAND must be queried with
+    the encoded values, and compact must not mix parameters."""
+    path = str(tmp_path / "kbidx")
+    full = synthetic_transcripts(spark, 30)
+    lo = full.filter(F.col("conv_id") < "conv_00000015")
+    hi = full.filter(F.col("conv_id") >= "conv_00000015")
+    append_segment(spark, path, "lo", lo, bucket_bits=8, k1=2.0, b=0.5)
+    # mixing parameters across segments is rejected
+    with pytest.raises(ValueError, match="impacts with"):
+        append_segment(spark, path, "hi", hi, bucket_bits=8)  # default k1/b
+    append_segment(spark, path, "hi", hi, bucket_bits=8, k1=2.0, b=0.5)
+
+    idx = read_segmented_index(spark, path)
+    assert (idx.impact_k1, idx.impact_b) == (2.0, 0.5)
+    # querying WAND with a different similarity raises instead of
+    # silently returning a wrong top-k under invalid bounds
+    with pytest.raises(ValueError, match="encoded with k1"):
+        bm25_topk_wand(idx, QUERIES[0], k=5)  # default k1=1.2
+    got = [(r["doc_id"], r["score"])
+           for r in bm25_topk_wand(idx, QUERIES[0], k=5, k1=2.0, b=0.5).collect()]
+    want = [(r["doc_id"], r["score"])
+            for r in bm25_topk(idx, QUERIES[0], k=5, k1=2.0, b=0.5)
+            .select("doc_id", "score").collect()]
+    assert got == want and got
+    # compact validates too
+    with pytest.raises(ValueError, match="impacts with"):
+        compact(spark, path)  # default k1/b
+    compact(spark, path, k1=2.0, b=0.5)
+    idx2 = read_segmented_index(spark, path)
+    assert (idx2.impact_k1, idx2.impact_b) == (2.0, 0.5)
+    idx.release()
+    idx2.release()
+
+
+def test_get_by_key_empty_request_returns_nothing(spark, seg_path):
+    path = seg_path[0]
+    assert get_by_key(spark, path, []).count() == 0
+
+
+def test_maybe_compact_deletes_pending_trigger(spark, tmp_path):
+    """Pending durable deletes trigger a merge even below the segment-
+    count threshold, and the trigger self-quiesces once the vector is
+    cleared."""
+    from solr_sematic_importer_spark.operators.segments import maybe_compact
+
+    path = str(tmp_path / "trigidx")
+    full = synthetic_transcripts(spark, 20)
+    append_segment(spark, path, "a",
+                   full.filter(F.col("conv_id") < "conv_00000010"), bucket_bits=8)
+    append_segment(spark, path, "b",
+                   full.filter(F.col("conv_id") >= "conv_00000010"), bucket_bits=8)
+    assert maybe_compact(spark, path, max_segments=8) is None
+    idx = read_segmented_index(spark, path)
+    victims = idx.doc_stats.filter(F.col("doc_id") % 50 == 0).select("doc_id")
+    record_deletes(spark, path, victims)
+    idx.release()
+    out = maybe_compact(spark, path, max_segments=8)
+    assert out is not None  # deletes-pending fired below the count gate
+    assert maybe_compact(spark, path, max_segments=8) is None  # quiesced
+
+
+def test_read_segmented_index_release_frees_cache(spark, seg_path):
+    path = seg_path[0]
+    idx = read_segmented_index(spark, path)
+    idx.term_stats.count()
+    lvl = idx.term_stats.storageLevel
+    assert lvl.useMemory or lvl.useDisk  # persisted by the reader
+    idx.release()
+    lvl = idx.term_stats.storageLevel
+    assert not (lvl.useMemory or lvl.useDisk)  # freed by release()
+
+
+def test_segmented_key_cols_natural_only(spark, seg_path):
+    path = seg_path[0]
+    idx = read_segmented_index(spark, path)
+    assert tuple(idx.key_cols) == ("conv_id", "turn_idx")
+    idx.release()
+
+
+def test_delete_by_query_releases_superseded_vector(spark):
+    from solr_sematic_importer_spark.operators.build import delete_by_query
+
+    docs = synthetic_transcripts(spark, 10)
+    idx = build_index(docs, profile="simple")
+    before = _n_persistent(spark)
+    for i in range(4):
+        delete_by_query(idx, F.col("doc_id") % 7 == i)
+        idx.deletes.count()
+        # exactly ONE delete vector stays persisted however many times
+        # the query runs
+        assert _n_persistent(spark) == before + 1
+    idx.deletes.unpersist()
+    idx.release()
