@@ -274,9 +274,14 @@ def embedding_near_dup_pairs(
             lambda acc, x: acc + x,
         )
     )
+    # zero-norm guard: 0/0 = NaN and NaN compares GREATER than any real
+    # double in Spark, so an unguarded zero embedding (empty doc, failed
+    # encode) would pass `cosine >= threshold` against every bucket-mate
+    # and corrupt the dup clusters; define its similarity as 0 instead
+    den = norm(F.col("va")) * norm(F.col("vb"))
     return (
         cand.withColumn(
-            "cosine", F.round(dot / (norm(F.col("va")) * norm(F.col("vb"))), 6)
+            "cosine", F.round(F.when(den > 0, dot / den).otherwise(F.lit(0.0)), 6)
         )
         .filter(F.col("cosine") >= threshold)
         .select("doc_a", "doc_b", "cosine")
@@ -313,7 +318,10 @@ def simhash(tf_df: DataFrame, bits: int = 64, hash_col=None) -> DataFrame:
             out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
             yield out.groupby("doc_id", as_index=False).sum()
 
-    schema = "doc_id long, " + ", ".join(f"b{i} long" for i in range(bits))
+    # id dtype follows the caller's frame (string doc ids work like
+    # longs everywhere else in this module)
+    id_type = tf_df.schema["doc_id"].dataType.simpleString()
+    schema = f"doc_id {id_type}, " + ", ".join(f"b{i} long" for i in range(bits))
     partials = with_h.mapInPandas(partial, schema=schema)
     summed = partials.groupBy("doc_id").agg(
         *[F.sum(f"b{i}").alias(f"b{i}") for i in range(bits)]

@@ -45,7 +45,11 @@ def _cosine_expr(vec_col: str, q: Sequence[float]):
         )
     )
     nq = float(np.sqrt(np.sum(np.asarray(q, dtype=np.float64) ** 2)))
-    return dot / (na * F.lit(nq))
+    # zero-norm guard: 0/0 is NaN, and Spark orders NaN ABOVE every real
+    # double, so unguarded zero vectors would crowd out true top-k rows;
+    # define cosine(0-vector, q) = 0 instead
+    denom = na * F.lit(nq)
+    return F.when(denom > 0, dot / denom).otherwise(F.lit(0.0))
 
 
 def brute_force_cosine_topk(
@@ -80,8 +84,11 @@ def rp_lsh_buckets(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """(id, sketch): sign-bit random-projection sketch, Arrow-vectorized."""
+    """(id, sketch): sign-bit random-projection sketch, Arrow-vectorized.
+    The id column keeps the CALLER'S name and dtype (string ids work the
+    same as longs — the schema is derived, not hardcoded)."""
     planes = _planes(dim, bits, seed)
+    id_type = df.schema[id_col].dataType.simpleString()
 
     def sketch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -90,9 +97,11 @@ def rp_lsh_buckets(
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             bitsmat = (mat @ planes) > 0
             vals = bitsmat @ (1 << np.arange(bits, dtype=np.int64))
-            yield pd.DataFrame({"vec_id": pdf[id_col].to_numpy(), "sketch": vals})
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "sketch": vals})
 
-    return df.select(id_col, vec_col).mapInPandas(sketch, schema="vec_id long, sketch long")
+    return df.select(id_col, vec_col).mapInPandas(
+        sketch, schema=f"`{id_col}` {id_type}, sketch long"
+    )
 
 
 def ivf_train_centroids(
@@ -108,7 +117,16 @@ def ivf_train_centroids(
     (seeded, deterministic). At 100 TB the sample is still a few thousand
     vectors — k-means training is never a distributed problem; only
     ASSIGNMENT is, and that stays on executors."""
-    rows = df.select(vec_col).limit(sample).collect()
+    # seeded pseudo-random sample via hash order (TakeOrderedAndProject —
+    # no full sort shuffle): limit() alone takes the FIRST rows, which on
+    # source/date-ordered input trains every centroid on one region and
+    # silently collapses nprobe recall
+    rows = (
+        df.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col), F.lit(seed)))
+        .limit(sample)
+        .collect()
+    )
     mat = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
     mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
@@ -291,6 +309,6 @@ def rp_lsh_cosine_topk(
     sk = rp_lsh_buckets(df, dim, bits, seed, vec_col, id_col)
     cand_ids = sk.filter(
         F.bit_count(F.col("sketch").bitwiseXOR(F.lit(qsketch))) <= radius
-    ).select("vec_id")
-    cand = df.join(cand_ids.withColumnRenamed("vec_id", id_col), id_col, "left_semi")
+    ).select(id_col)
+    cand = df.join(cand_ids, id_col, "left_semi")
     return brute_force_cosine_topk(cand, query_vec, k, vec_col, id_col)

@@ -33,8 +33,15 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
         F.round(
-            F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
-            / F.size(toks),
+            # guarded: ANSI mode (Spark 4 default) makes x/0 a job-killing
+            # DIVIDE_BY_ZERO on the first empty/punctuation-only doc; an
+            # empty doc has no average token length (NULL, matching what
+            # a SQL GROUP BY over zero token rows would produce)
+            F.when(
+                F.size(toks) > 0,
+                F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+                / F.size(toks),
+            ),
             4,
         ).alias("avg_token_len"),
     )

@@ -161,11 +161,20 @@ def decode_message(buf: bytes, schema: dict) -> dict:
             elif typ == "message":
                 put(decode_message(chunk, opts["schema"]))
             elif typ == "map":
-                # map entry = message {1: key, 2: value}
+                # map entry = message {1: key, 2: value}; a proto3
+                # serializer OMITS default-valued fields, so a missing
+                # key/value means the type's default ('' / 0 / false),
+                # not None — otherwise '' keys flatten to 'name_None'
                 entry = decode_message(
                     chunk, {1: ("key", opts["key"]), 2: ("value", opts["value"])}
                 )
-                out.setdefault(name, {})[entry.get("key")] = entry.get("value")
+                k = entry.get("key")
+                if k is None:
+                    k = _proto3_default(opts["key"])
+                v = entry.get("value")
+                if v is None:
+                    v = _proto3_default(opts["value"])
+                out.setdefault(name, {})[k] = v
             elif typ == "timestamp":
                 ts = decode_message(chunk, {1: ("seconds", "int64"), 2: ("nanos", "int32")})
                 ms = ts.get("seconds", 0) * 1000 + ts.get("nanos", 0) // 1_000_000
@@ -187,6 +196,16 @@ def decode_message(buf: bytes, schema: dict) -> dict:
                 while p2 < len(chunk):
                     raw, p2 = _read_varint(chunk, p2)
                     out.setdefault(name, []).append(_decode_scalar(raw, typ))
+            elif typ in ("float", "double"):
+                # packed repeated fixed-width scalars — proto3 packs
+                # repeated numeric fields BY DEFAULT, so real serializers
+                # emit embeddings etc. as one length-delimited chunk
+                fmt, width = ("<f", 4) if typ == "float" else ("<d", 8)
+                p2 = 0
+                while p2 + width <= len(chunk):
+                    (v,) = _struct.unpack_from(fmt, chunk, p2)
+                    p2 += width
+                    out.setdefault(name, []).append(v)
             else:
                 raise ValueError(f"length-delimited type {typ} unsupported")
         else:
@@ -199,9 +218,28 @@ def _decode_scalar(raw: int, typ: str):
         return bool(raw)
     if typ in _ZIGZAG_TYPES:
         return _zigzag_dec(raw)
-    if typ in ("int32", "int64"):
+    if typ in ("int32", "int64", "enum"):
+        # enum values are int32 varints sign-extended to 64 bits on the
+        # wire: a negative enum decodes as 2^64+v without this
         return _to_signed(raw)
-    return raw  # uint32/uint64/enum
+    return raw  # uint32/uint64 (unsigned; uint64 >= 2^63 exceeds Spark's
+    #             long like it exceeds the reference's Solr plong)
+
+
+def _proto3_default(typ: str):
+    """The proto3 default for a scalar type — what an omitted field
+    means on the wire."""
+    if typ == "string":
+        return ""
+    if typ == "bytes":
+        return b""
+    if typ == "bool":
+        return False
+    if typ in ("float", "double"):
+        return 0.0
+    if typ == "message":
+        return {}
+    return 0  # all integer/enum types
 
 
 def _iso_duration(seconds: int, nanos: int) -> str:

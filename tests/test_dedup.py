@@ -229,3 +229,42 @@ def test_near_dup_canonical_keep_one_per_cluster(spark, docs):
             assert c == d
     kept = {r["doc_id"] for r in out.filter(F.col("doc_id") == F.col("canonical")).collect()}
     assert kept == {c for c in rows.values()}
+
+
+def test_zero_embedding_is_not_a_near_dup(spark):
+    """A zero vector's cosine is 0, not NaN (which passes >= threshold
+    under Spark's NaN-greatest ordering and corrupts the dup clusters —
+    round-5 review). Both the exact and LSH-banded paths."""
+    from solr_sematic_importer_spark.operators.dedup import embedding_near_dup_pairs
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.001, 0.0, 0.0]),   # true near-dup of 0
+        (2, [0.0, 0.0, 0.0, 0.0]),     # zero vector
+        (3, [0.0, 0.0, 0.0, 0.0]),     # another zero vector
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for exact in (True, False):
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in embedding_near_dup_pairs(
+                df, dim=4, threshold=0.99, exact=exact, bits=16, band_bits=4
+            ).collect()
+        }
+        assert (0, 1) in got
+        assert all(2 not in p and 3 not in p for p in got), (exact, got)
+
+
+def test_simhash_string_doc_ids(spark):
+    """simhash derives the id dtype from the input frame — string doc
+    ids flow through the Arrow stage like longs (round-5 review)."""
+    from solr_sematic_importer_spark.operators.dedup import simhash
+
+    tf = spark.createDataFrame(
+        [("d-1", "alpha", 2), ("d-1", "beta", 1), ("d-2", "alpha", 2), ("d-2", "beta", 1)],
+        "doc_id string, term string, tf int",
+    )
+    fps = simhash(tf).collect()
+    got = {r["doc_id"]: r["simhash"] for r in fps}
+    assert set(got) == {"d-1", "d-2"}
+    assert got["d-1"] == got["d-2"]  # identical content -> identical prints

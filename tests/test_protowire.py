@@ -181,3 +181,59 @@ def test_descriptor_to_struct_nested(spark):
     row = spark.createDataFrame([dec], st).first()
     assert row["person"]["name"] == "n" and row["scores"] == [5, 6]
     assert row["attrs"]["color"] == "red" and row["flag"] is True
+
+
+# ---------------------------------------------------------------------------
+# round-5 review: real-serializer wire shapes the fixture encoder never emits
+# ---------------------------------------------------------------------------
+
+
+def test_packed_repeated_float_double_decode():
+    """proto3 serializers PACK repeated numeric scalars by default: one
+    length-delimited chunk of fixed-width values. The decoder must accept
+    both packed and unpacked forms (the fixture encoder writes unpacked)."""
+    import struct
+
+    from solr_sematic_importer_spark.sources.protowire import _write_varint
+
+    schema = {1: ("emb", "float", {"repeated": True}),
+              2: ("weights", "double", {"repeated": True})}
+    floats = [1.5, -2.25, 0.0, 3.75]
+    doubles = [0.1, -7.5]
+    payload_f = b"".join(struct.pack("<f", v) for v in floats)
+    payload_d = b"".join(struct.pack("<d", v) for v in doubles)
+    wire = (
+        _write_varint((1 << 3) | 2) + _write_varint(len(payload_f)) + payload_f
+        + _write_varint((2 << 3) | 2) + _write_varint(len(payload_d)) + payload_d
+    )
+    got = decode_message(wire, schema)
+    assert got["emb"] == pytest.approx(floats)
+    assert got["weights"] == pytest.approx(doubles)
+
+
+def test_map_entry_default_key_and_value():
+    """A proto3 serializer omits default-valued map entry fields: a
+    missing key means '' and a missing value means the value type's
+    default — not None (which would flatten to a bogus 'attrs_None')."""
+    from solr_sematic_importer_spark.sources.protowire import _write_varint
+
+    schema = {1: ("attrs", "map",
+                  {"key": "string", "value": "string", "keys": [""]})}
+    # entry with ONLY field 2 (value): key omitted == ""
+    inner = _write_varint((2 << 3) | 2) + _write_varint(3) + b"abc"
+    wire = _write_varint((1 << 3) | 2) + _write_varint(len(inner)) + inner
+    assert decode_message(wire, schema) == {"attrs": {"": "abc"}}
+    # entry with ONLY field 1 (key): value omitted == ""
+    inner2 = _write_varint((1 << 3) | 2) + _write_varint(1) + b"k"
+    wire2 = _write_varint((1 << 3) | 2) + _write_varint(len(inner2)) + inner2
+    assert decode_message(wire2, schema) == {"attrs": {"k": ""}}
+
+
+def test_negative_enum_sign_extended():
+    """Enum values are int32 varints sign-extended to 64 bits on the
+    wire; a negative enum must decode negative, not as 2^64+v."""
+    from solr_sematic_importer_spark.sources.protowire import _write_varint
+
+    schema = {1: ("kind", "enum")}
+    wire = _write_varint(1 << 3) + _write_varint((1 << 64) - 3)  # -3
+    assert decode_message(wire, schema) == {"kind": -3}

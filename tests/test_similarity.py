@@ -186,3 +186,72 @@ def test_rp_lsh_index_custom_id_col(spark, tmp_path):
     g = [(r["doc_id"], round(r["cosine"], 9)) for r in got.collect()]
     w = [(r["doc_id"], round(r["cosine"], 9)) for r in want.collect()]
     assert g == w and g[0][0] == 7
+
+
+def test_zero_norm_vectors_never_reach_topk(spark):
+    """cosine(0-vector, q) is defined as 0, not NaN: Spark orders NaN
+    ABOVE every real double, so unguarded zero embeddings (empty docs,
+    failed encodes) would crowd the top-k (round-5 review)."""
+    from solr_sematic_importer_spark.operators.similarity_search import (
+        brute_force_cosine_topk,
+    )
+
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0]), (3, [0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = brute_force_cosine_topk(df, [1.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in got] == [0, 1]
+    assert all(r["cosine"] == r["cosine"] for r in got)  # no NaN
+
+
+def test_rp_lsh_string_ids(spark):
+    """The sketch/bucket path keeps the caller's id name AND dtype —
+    string ids work end-to-end like longs (round-5 review)."""
+    from solr_sematic_importer_spark.operators.similarity_search import (
+        rp_lsh_buckets,
+        rp_lsh_cosine_topk,
+    )
+
+    rows = [(f"doc-{i}", [float(i == j) for j in range(8)]) for i in range(8)]
+    df = spark.createDataFrame(rows, "uid string, embedding array<double>")
+    sk = rp_lsh_buckets(df, 8, bits=16, id_col="uid")
+    assert dict(sk.dtypes)["uid"] == "string" and sk.count() == 8
+    got = rp_lsh_cosine_topk(
+        df, rows[3][1], dim=8, k=1, bits=16, radius=16, id_col="uid"
+    ).collect()
+    assert got and got[0]["uid"] == "doc-3"
+
+
+def test_ivf_sample_is_not_first_n(spark):
+    """Centroid training samples by seeded hash order, not limit():
+    cluster-sorted input (the normal parquet layout) must still spread
+    centroids across ALL clusters, or nprobe=1 recall collapses for the
+    clusters past the first N rows (round-5 review)."""
+    import numpy as np
+
+    from solr_sematic_importer_spark.operators.similarity_search import (
+        ivf_assign,
+        ivf_cosine_topk,
+        ivf_train_centroids,
+    )
+
+    rng = np.random.default_rng(3)
+    centers = np.eye(4, 16) * 5.0
+    rows = []
+    i = 0
+    for c in range(4):            # SORTED by cluster
+        for _ in range(100):
+            v = centers[c] + rng.standard_normal(16) * 0.05
+            rows.append((i, [float(x) for x in v]))
+            i += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").persist()
+    df.count()
+    # sample(32) < one cluster's 100 rows: limit() would see cluster 0 only
+    cent = ivf_train_centroids(df, 16, n_clusters=4, sample=32)
+    # trained centroids must cover all four regions, not just the first
+    sims = cent @ (centers / np.linalg.norm(centers, axis=1, keepdims=True)).T
+    assert len(set(sims.argmax(axis=1))) == 4
+    assigned = ivf_assign(df, cent)
+    qv = rows[350][1]             # a LAST-cluster vector
+    got = ivf_cosine_topk(assigned, cent, qv, k=1, nprobe=1).collect()
+    assert got and got[0]["vec_id"] == 350
+    df.unpersist()
