@@ -139,11 +139,14 @@ def _parse_clauses(tokens, i, q, fields: frozenset = frozenset()) -> tuple[list[
     def attach(clause: Clause):
         nonlocal pending, conj
         if pending is not None:
+            # an explicit +/-/NOT wins for THIS clause, but AND still
+            # promotes its LEFT neighbor: Lucene parses "a AND NOT b"
+            # as +a -b, not a -b
             clause.occur = pending
         elif conj == "AND":
             clause.occur = MUST
-            if out and out[-1].occur == SHOULD:
-                out[-1].occur = MUST  # AND promotes the left side too
+        if conj == "AND" and out and out[-1].occur == SHOULD:
+            out[-1].occur = MUST  # AND promotes the left side too
         out.append(clause)
         pending = None
         conj = None

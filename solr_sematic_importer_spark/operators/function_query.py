@@ -151,9 +151,17 @@ def rerank_topk(
     if rr is None:
         combined = head
     else:
+        # broadcast the RIGHT side: BroadcastHashJoin cannot broadcast
+        # the preserved (left) side of a left-outer join, so hinting
+        # `head` fell back to a shuffle of the full rr match set. Semi-
+        # joining rr down to the head's ids first keeps the broadcast
+        # request-sized either way.
+        rr_small = rr.withColumnRenamed("score", "_rr").join(
+            F.broadcast(head.select("doc_id")), "doc_id", "left_semi"
+        )
         combined = (
-            F.broadcast(head)
-            .join(rr.withColumnRenamed("score", "_rr"), "doc_id", "left")
+            head
+            .join(F.broadcast(rr_small), "doc_id", "left")
             .select(
                 "doc_id",
                 (
@@ -194,8 +202,11 @@ def bm25_collapse_topk(
     spark = index.postings_flat.sparkSession
     per_doc = score_or_docs(index, query, k1=k1, b=b, quantize=quantize)
     if per_doc is None:
+        # collapse-key dtype follows the caller's frame so the zero-hit
+        # schema matches the matching path (an int key stays int)
+        key_type = dict(fields.dtypes)[collapse_field]
         return spark.createDataFrame(
-            [], f"doc_id long, {collapse_field} string, score double"
+            [], f"doc_id long, {collapse_field} {key_type}, score double"
         )
     joined = per_doc.join(
         fields.select("doc_id", collapse_field), "doc_id"

@@ -24,13 +24,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from ..functions.analyzer import (
-    ENGLISH_STOPWORDS,
+    MAX_TOKEN_LENGTH,
     PROFILES,
-    PROTECTED_WORDS,
-    _strip_possessive,
+    _text_en_term,
     _TOKEN_RE,
 )
-from ..functions.porter import porter_stem
 
 
 def _tokens_with_offsets(text: str, profile: str):
@@ -46,16 +44,23 @@ def _tokens_with_offsets(text: str, profile: str):
             out.append((m.group(0), m.start(), m.end()))
         return out
     for m in _TOKEN_RE.finditer(text):
-        raw = m.group(0)
-        if profile == "text_general":
-            out.append((raw.lower(), m.start(), m.end()))
-            continue
-        # text_en
-        if raw.lower() in ENGLISH_STOPWORDS:
-            continue
-        t = _strip_possessive(raw.lower())
-        term = t if t in PROTECTED_WORDS else porter_stem(t)
-        out.append((term, m.start(), m.end()))
+        whole = m.group(0)
+        # replicate tokenize()'s MAX_TOKEN_LENGTH split with offsets
+        # intact: an over-long run is INDEXED as 255-char terms, so the
+        # query matches them — highlighting must produce the same terms
+        # or matching docs silently vanish from the highlight section
+        for i in range(0, len(whole), MAX_TOKEN_LENGTH):
+            raw = whole[i : i + MAX_TOKEN_LENGTH]
+            s = m.start() + i
+            e = s + len(raw)
+            if profile == "text_general":
+                out.append((raw.lower(), s, e))
+                continue
+            # text_en: the index chain's own per-token function — one
+            # source of truth, no drift when the chain changes
+            term = _text_en_term(raw)
+            if term:
+                out.append((term, s, e))
     return out
 
 

@@ -137,6 +137,10 @@ def term_vectors(
         flat = index.postings_flat.filter(
             F.col("doc_id").isin(doc_ids)
         ).select("doc_id", "term", "tf")
+    if index.deletes is not None:
+        # /tv never serves a deleted doc — the same anti-join mask every
+        # scorer applies (request-sized left side, so it stays cheap)
+        flat = flat.join(index.deletes.select("doc_id"), "doc_id", "left_anti")
     if not with_stats:
         return flat
     return flat.join(

@@ -41,11 +41,16 @@ def build_positions(
     df: DataFrame,
     text_col: str = "text",
     doc_id_col: str = "doc_id",
-    profile: str = "simple",
+    profile: str = "text_en",
 ) -> DataFrame:
     """(doc_id, term, posns) — one row per distinct (doc, term), positions
     ascending. One narrow Arrow stage (re-analysis; only paid when phrase
-    support is enabled, like enabling positions in a Lucene field)."""
+    support is enabled, like enabling positions in a Lucene field).
+
+    ``profile`` MUST match the index the positions will be queried
+    against (default text_en = ``build_index``'s default): a mismatched
+    pairing holds unstemmed surface terms that a stemmed phrase query
+    inner-joins to nothing — every phrase silently returns empty."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:

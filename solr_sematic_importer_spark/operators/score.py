@@ -252,17 +252,35 @@ def bm25_topk_synonyms(
     (``semantic_base_config.zip -> synonyms.txt`` via
     ``functions.synonyms.default_synonyms``) — the default Solr query
     chain, ``managed-schema.xml:311``."""
+    from ..functions.analyzer import analyze_text_general
     from ..functions.synonyms import default_synonyms, expand_terms
 
     if synonyms is None:
         synonyms = default_synonyms()
     spark = index.postings_flat.sparkSession
     out_schema = "doc_id long, score double"
-    terms = analyze_query(query, index.profile)
-    if not terms or index.n_docs == 0:
+    # Solr applies synonymGraph BEFORE stemming and the outputs continue
+    # through the rest of the chain. Matching rules against STEMMED
+    # tokens would never fire under text_en ('television' analyzes to
+    # 'televis', which no surface-form rule key equals), and surface-form
+    # members would look up df=0 in the stemmed dictionary — so: match on
+    # tokenize+lowercase (pre-stem) tokens, then re-analyze every member
+    # through the index profile.
+    raw_terms = analyze_text_general(query)
+    if not raw_terms or index.n_docs == 0:
         return spark.createDataFrame([], out_schema)
 
-    groups = expand_terms(terms, synonyms)
+    groups = []
+    for g in expand_terms(raw_terms, synonyms):
+        flat: list[str] = []
+        for m in g:
+            for t in analyze_query(m, index.profile):
+                if t not in flat:
+                    flat.append(t)
+        if flat:  # a group can analyze away entirely (lone stopword)
+            groups.append(flat)
+    if not groups:
+        return spark.createDataFrame([], out_schema)
     members = sorted({m for g in groups for m in g})
     dfs = term_dfs(index, members)
     # one weight per original token position; duplicate positions keep

@@ -296,9 +296,15 @@ def select(
         )
         rr = score_or_docs(index, rerank_query, k1=k1, b=b, quantize=quantize)
         if rr is not None:
+            # broadcast the RIGHT side (BroadcastHashJoin cannot broadcast
+            # the preserved side of a left-outer join): semi-join rr down
+            # to the head's ids, then broadcast that request-sized frame
+            rr_small = rr.withColumnRenamed("score", "_rr").join(
+                F.broadcast(head.select("doc_id")), "doc_id", "left_semi"
+            )
             adjusted = (
-                F.broadcast(head)
-                .join(rr.withColumnRenamed("score", "_rr"), "doc_id", "left")
+                head
+                .join(F.broadcast(rr_small), "doc_id", "left")
                 .select(
                     *keep_cols,
                     (

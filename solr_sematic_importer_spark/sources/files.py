@@ -26,8 +26,13 @@ MSMARCO_SCHEMA = T.StructType(
 
 
 def msmarco_tsv(spark: SparkSession, path: str) -> DataFrame:
+    # quote disabled: MS MARCO is raw tab-split text (the reference reads
+    # it line-by-line); the CSV reader's default '\"' quoting would treat
+    # a field STARTING with a double quote as quoted and swallow tabs up
+    # to the closing quote, shifting url/title/body into wrong columns
     return spark.read.csv(
-        path, sep="\t", schema=MSMARCO_SCHEMA, header=False, multiLine=False
+        path, sep="\t", schema=MSMARCO_SCHEMA, header=False, multiLine=False,
+        quote="",
     )
 
 
@@ -69,8 +74,11 @@ def solr_select_envelope(
         ]
     )
     raw = spark.read.schema(env).option("multiLine", "true").json(path)
+    # explode_outer: a zero-result envelope (numFound=0, docs=[]) keeps
+    # one row with null doc columns so the caller can still observe
+    # num_found/qtime — plain explode would drop the envelope entirely
     return raw.select(
         F.col("response.numFound").alias("num_found"),
         F.col("responseHeader.QTime").alias("qtime"),
-        F.explode("response.docs").alias("doc"),
+        F.explode_outer("response.docs").alias("doc"),
     ).select("num_found", "qtime", "doc.*")

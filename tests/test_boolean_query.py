@@ -352,3 +352,20 @@ def test_effective_pure_negative_after_stopword_drop(idx_en):
            for r in boolean_query_topk(idx_en, "the -merge", k=100).collect()}
     merge_docs = {0, 1, 2, 5}
     assert got == set(range(len(TEXTS))) - merge_docs
+
+
+def test_and_promotes_left_despite_explicit_right(idx):
+    """Lucene parses 'a AND NOT b' as +a -b: an explicit +/-/NOT on the
+    right clause must not cancel AND's promotion of its LEFT neighbor
+    (round-5 review, execution-verified divergence)."""
+    cs = parse_query("a AND NOT b OR c")
+    assert [(c.text, c.occur) for c in cs] == [
+        ("a", MUST), ("b", MUST_NOT), ("c", SHOULD)
+    ]
+    cs2 = parse_query("x AND +y")
+    assert [(c.occur) for c in cs2] == [MUST, MUST]
+    # execution: 'merge AND NOT sort' == '+merge -sort'
+    index, _ = idx
+    a = _rows(boolean_query_topk(index, "merge AND NOT sort", k=10, quantize=False))
+    b = _rows(boolean_query_topk(index, "+merge -sort", k=10, quantize=False))
+    assert a == b and a  # docs 2 matches (merge without sort)

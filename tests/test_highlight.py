@@ -47,3 +47,18 @@ def test_highlight_page_shape(spark):
     rows = {r["doc_id"]: r["snippet"] for r in out.collect()}
     assert set(rows) == {0, 2}
     assert "<em>" in rows[0] and "<em>merge</em>" in rows[2]
+
+
+def test_overlong_token_split_matches_index_terms():
+    """tokenize() splits runs at MAX_TOKEN_LENGTH=255, so a doc with an
+    over-long token is INDEXED as 255-char terms; highlighting must
+    produce the same terms or a matching doc vanishes from the highlight
+    section (round-5 review)."""
+    from solr_sematic_importer_spark.functions.analyzer import analyze_text_en
+    from solr_sematic_importer_spark.operators.highlight import make_snippet
+
+    text = "short " + "x" * 300 + " tail"
+    terms = set(analyze_text_en(text))
+    assert any(len(t) == 255 for t in terms)
+    snip = make_snippet(text, terms, "text_en")
+    assert snip is not None and "<em>" in snip

@@ -61,3 +61,21 @@ def test_more_like_this_ranks_near_dup_first(idx):
 def test_more_like_this_no_interesting_terms(idx):
     # doc 3 shares no gated term (its terms are unique -> df < 5)
     assert more_like_this(idx, 3, k=5, min_term_freq=1, min_doc_freq=5).count() == 0
+
+
+def test_term_vectors_exclude_deleted_docs(spark):
+    """/tv never serves a deleted document — the same deletion-vector
+    mask every scorer applies (round-5 review)."""
+    from pyspark.sql import functions as F
+
+    from solr_sematic_importer_spark.operators.build import build_index, delete_by_query
+    from solr_sematic_importer_spark.operators.mlt import term_vectors
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "alpha gamma")], "doc_id long, text string"
+    )
+    idx = build_index(docs, text_col="text", key_cols=(), profile="simple",
+                      doc_id_col="doc_id")
+    assert {r["doc_id"] for r in term_vectors(idx, [0, 1]).collect()} == {0, 1}
+    delete_by_query(idx, F.col("doc_id") == 0)
+    assert {r["doc_id"] for r in term_vectors(idx, [0, 1]).collect()} == {1}

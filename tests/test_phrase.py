@@ -104,3 +104,23 @@ def test_phrase_plan_pushes_term_filter(spark, docs, tmp_path):
     pos = spark.read.parquet(p)
     plan = phrase_match_counts(pos, ["merge", "sort"], [0, 1])._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "merge" in plan
+
+def test_default_positions_profile_matches_default_index(spark):
+    """build_positions' default profile equals build_index's default
+    (text_en): the default-argument pairing must not silently hold
+    unstemmed terms a stemmed phrase query joins to nothing against
+    (round-5 review)."""
+    from solr_sematic_importer_spark.operators.build import build_index
+    from solr_sematic_importer_spark.operators.phrase import (
+        bm25_phrase_topk,
+        build_positions,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "running runs quickly"), (1, "walking walks slowly")],
+        "doc_id long, text string",
+    )
+    idx = build_index(docs, text_col="text", key_cols=(), doc_id_col="doc_id")
+    pos = build_positions(docs)  # both defaults -> must agree
+    got = bm25_phrase_topk(idx, pos, "running runs", k=5).collect()
+    assert [r["doc_id"] for r in got] == [0]

@@ -176,3 +176,36 @@ def test_streaming_incremental_build(spark, tmp_path):
     idx = read_segmented_index(spark, idx_path)
     got = bm25_topk(idx, "zeppelin", k=5).collect()
     assert len(got) >= 1
+
+
+def test_msmarco_tsv_quote_char_is_data(spark, tmp_path):
+    """MS MARCO is raw tab-split text: a field STARTING with a double
+    quote must not flip the CSV reader into quoted mode and swallow
+    tabs (round-5 review)."""
+    p = tmp_path / "quoted.tsv"
+    p.write_text('D1\thttp://a\t"Quoted title\tbody with "quotes" inside\n')
+    row = msmarco_tsv(spark, str(p)).collect()[0]
+    assert row["docid"] == "D1"
+    assert row["title"] == '"Quoted title'
+    assert row["body"] == 'body with "quotes" inside'
+
+
+def test_solr_select_envelope_zero_results(spark, tmp_path):
+    """A zero-result /select envelope keeps one row with null doc
+    columns so num_found/qtime stay observable (round-5 review)."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from solr_sematic_importer_spark.sources.files import solr_select_envelope
+
+    p = tmp_path / "empty.json"
+    p.write_text(_json.dumps({
+        "responseHeader": {"QTime": 7},
+        "response": {"numFound": 0, "start": 0, "docs": []},
+    }))
+    schema = T.StructType([T.StructField("id", T.StringType())])
+    rows = solr_select_envelope(spark, str(p), schema).collect()
+    assert len(rows) == 1
+    assert rows[0]["num_found"] == 0 and rows[0]["qtime"] == 7
+    assert rows[0]["id"] is None

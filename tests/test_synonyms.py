@@ -198,3 +198,35 @@ def test_synonym_query_semantics(idx):
     assert [r["doc_id"] for r in got] == [d for d, _ in want]
     for r, (_, s) in zip(got, want):
         assert r["score"] == pytest.approx(s, abs=1e-9)
+
+
+def test_synonyms_fire_under_text_en_stemming(spark):
+    """Solr applies synonymGraph BEFORE stemming and stems the outputs:
+    rules keyed on surface forms must fire for stemmed indexes, and the
+    members must be looked up by their STEMMED form (round-5 review —
+    previously expansion was silently dead under text_en)."""
+    from solr_sematic_importer_spark.operators.build import build_index
+    from solr_sematic_importer_spark.operators.score import (
+        bm25_topk,
+        bm25_topk_synonyms,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "old televisions hum quietly"),
+            (1, "a tv in every room"),
+            (2, "nothing relevant in this sentence"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_index(docs, text_col="text", key_cols=(), profile="text_en",
+                      doc_id_col="doc_id")
+    rules = {"tv": ["tv", "television", "televisions"],
+             "television": ["tv", "television", "televisions"],
+             "televisions": ["tv", "television", "televisions"]}
+    got = {r["doc_id"]
+           for r in bm25_topk_synonyms(idx, "TV", synonyms=rules, k=10).collect()}
+    assert got == {0, 1}  # the stemmed 'televis' doc matches via the rule
+    # baseline sanity: without synonyms only the literal match returns
+    plain = {r["doc_id"] for r in bm25_topk(idx, "TV", k=10).collect()}
+    assert plain == {1}
