@@ -2639,7 +2639,7 @@ FROM ranked WHERE rn = 1 ORDER BY m DESC, parent_id ASC LIMIT 10""",
         "media_frame_sample": f"""
             WITH v AS (
                 SELECT media_id,
-                       greatest(1, cast(floor(meta.duration_ms / 1000.0) AS INT)) AS nf
+                       greatest(1, cast(floor((meta.duration_ms - 1) / 1000.0) AS INT) + 1) AS nf
                 FROM read_parquet('{_MEDIA_PARQUET}/*.parquet')
                 WHERE kind = 'video'
             )

@@ -22,6 +22,10 @@ def char_chunks(
     (``ChunkDocumentListener.java:142`` lpad semantics). posexplode of a
     sequence keeps it one narrow stage — no shuffle, no UDF.
     """
+    if overlap >= size:
+        # step 0 is a DIVIDE_BY_ZERO under ANSI; step < 0 silently
+        # truncates every doc to its first window
+        raise ValueError(f"overlap ({overlap}) must be < size ({size})")
     step = size - overlap
     n = F.greatest(
         F.lit(1), F.ceil((F.length(F.col(text_col)) - F.lit(overlap)) / F.lit(step)).cast("int")
@@ -52,8 +56,13 @@ def token_window_chunks(
     """Token-window variant (whitespace tokens), same child-row contract —
     mirrors the mock chunker semantics (``grpc/ChunkServiceMock.java:58-69``:
     fixed-size word windows with overlap carry)."""
+    if overlap >= size:
+        raise ValueError(f"overlap ({overlap}) must be < size ({size})")
     step = size - overlap
-    toks = F.split(F.col(text_col), "\\s+")
+    # trim first: split('\\s+') on leading/trailing whitespace yields
+    # empty-string tokens that inflate the count and leak spaces into
+    # concat_ws chunks
+    toks = F.split(F.trim(F.col(text_col)), "\\s+")
     n = F.greatest(F.lit(1), F.ceil((F.size(toks) - F.lit(overlap)) / F.lit(step)).cast("int"))
     return df.select(
         F.col(id_col).alias("parent_id"),
@@ -79,6 +88,7 @@ def block_join_parent_topk(
     k1: float = 1.2,
     b: float = 0.75,
     quantize: bool = True,
+    parent_id_type: str = "long",
 ):
     """Solr block join ({!parent which=...} / ToParentBlockJoinQuery):
     score CHILD chunk docs with BM25, return PARENTS ranked by their best
@@ -90,6 +100,10 @@ def block_join_parent_topk(
     ``doc_id_col`` absent and key ``id`` carrying the parent#n string
     (use ``build_index(chunks, text_col='chunk', key_cols=('id',))``).
     Returns (parent_id, score, best_chunk) with doc-id tie-breaks.
+
+    ``parent_id_type``: dtype of the recovered parent id (default
+    ``"long"`` for numeric parents; pass ``"string"`` for arbitrary
+    Solr-style string ids — the reference allows any id).
     """
     from pyspark.sql.window import Window
 
@@ -100,12 +114,17 @@ def block_join_parent_topk(
     scored = score_or_docs(chunk_index, query, k1=k1, b=b, quantize=quantize)
     if scored is None:
         return spark.createDataFrame(
-            [], "parent_id long, score double, best_chunk string"
+            [], f"parent_id {parent_id_type}, score double, best_chunk string"
         )
     # child doc_id -> its chunk id string -> parent id
     ids = chunk_index.doc_stats.select("doc_id", "id")
+    # parent = everything before the TRAILING '#%07d' suffix (a split on
+    # the FIRST '#' would truncate parents that themselves contain '#')
+    parent = F.regexp_extract(F.col("id"), r"^(.*)#\d{7}$", 1)
+    if parent_id_type != "string":
+        parent = parent.cast(parent_id_type)
     with_parent = scored.join(ids, "doc_id").select(
-        F.split(F.col("id"), "#").getItem(0).cast("long").alias("parent_id"),
+        parent.alias("parent_id"),
         F.col("score").alias("cscore"),
         F.col("id").alias("chunk_id"),
     )

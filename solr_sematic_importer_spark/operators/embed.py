@@ -104,9 +104,16 @@ def validate_vector_field(
     dt = dict(df.dtypes)[col]
     if dt not in ("array<float>", "array<double>"):
         raise ValueError(f"vector field '{col}' has type {dt}, want array<float>")
+    # NULL-safe: size(NULL) is NULL and `NULL != dim` drops the row from
+    # the filter, so a NULL vector (or a null component) would count as
+    # VALID without the explicit isNull arms
+    has_null_comp = F.exists(F.col(col), lambda x: x.isNull())
     bad = (
-        df.select(F.size(col).alias("n"))
-        .filter(F.col("n") != dim)
+        df.filter(
+            F.col(col).isNull()
+            | (F.size(col) != dim)
+            | has_null_comp
+        )
         .limit(sample)
         .count()
     )
@@ -148,7 +155,10 @@ def embed_texts(
         for b in batches:
             if not len(b):
                 continue
-            texts = b[text_col].astype(str).tolist()
+            # fillna first: astype(str) stringifies missing values to the
+            # literal 'None'/'nan', which would give every null doc the
+            # same non-zero hash vector (mutual false nearest neighbors)
+            texts = b[text_col].fillna("").astype(str).tolist()
             vecs = np.concatenate(
                 [
                     emb(texts[i : i + batch_size])

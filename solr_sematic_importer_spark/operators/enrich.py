@@ -36,11 +36,15 @@ def enrich_for_crawl(
     (job-start timestamp, Solr ISO-8601 UTC string), and normalize an
     optional epoch-millis/timestamp/string ``creation_date`` column through
     the reference's coercion fallback chain (F2)."""
+    import datetime as _dt
+
+    # driver-computed constant, like crawl_id: current_timestamp() is
+    # re-evaluated per ACTION, so two sinks (or a retried stage) would
+    # stamp different crawl_dates on one logical run
+    now = _dt.datetime.now(_dt.timezone.utc)
+    crawl_date = now.strftime("%Y-%m-%dT%H:%M:%S.") + f"{now.microsecond // 1000:03d}Z"
     out = df.withColumn("crawl_id", F.lit(crawl_id)).withColumn(
-        "crawl_date",
-        F.date_format(
-            F.to_utc_timestamp(F.current_timestamp(), "UTC"), SOLR_DATE_FMT
-        ),
+        "crawl_date", F.lit(crawl_date)
     )
     if creation_date_col is not None:
         out = out.withColumn(
@@ -58,7 +62,15 @@ def solr_date_string(col) -> Column:
         F.to_timestamp(F.timestamp_millis(s.try_cast("long"))),
         s.try_cast("timestamp"),
     )
-    return F.date_format(F.to_utc_timestamp(as_ts, "UTC"), SOLR_DATE_FMT)
+    # render in UTC regardless of spark.sql.session.timeZone:
+    # date_format prints in the SESSION zone (and to_utc_timestamp(ts,
+    # 'UTC') is an identity no-op), so the old expression emitted
+    # session-local wall time with a 'Z' suffix — off by the session's
+    # UTC offset on any non-UTC cluster. convert_timezone shifts the
+    # instant to UTC wall time first, making the string session-proof.
+    return F.date_format(
+        F.convert_timezone(None, F.lit("UTC"), as_ts), SOLR_DATE_FMT
+    )
 
 
 def truncate_field(

@@ -34,6 +34,78 @@ def _is_timestamp_struct(dt: T.StructType) -> bool:
     return names == {"seconds", "nanos"}
 
 
+def _elem_exprs(dt: T.StructType, get, prefix: str):
+    """Leaf projections of one ARRAY ELEMENT struct, recursively:
+    [(column_name, builder(element)->Column, n_inner_array_levels)].
+    ``get`` positions the element column at ``dt``; ``wraps`` counts how
+    many times the resulting outer array must be flattened (one per
+    inner repeated level — the reference pools nested repeats into one
+    multiValued field)."""
+    # NOTE: every builder MUST be a ONE-parameter callable — pyspark's
+    # higher-order-function bridge inspects the callable's arity and
+    # passes that many lambda variables, so default-argument closures
+    # break; plain closure factories keep the arity at 1.
+    def _field_of(parent_get, field_name):
+        def g(e):
+            return parent_get(e)[field_name]
+        return g
+
+    def _sentinel(_e):
+        return F.lit(EMPTY_SENTINEL)
+
+    def _ts_of(g):
+        def b(e):
+            v = g(e)
+            return F.timestamp_seconds(
+                v["seconds"] + v["nanos"] / F.lit(1_000_000_000)
+            )
+        return b
+
+    def _mask_of(g):
+        def b(e):
+            return F.concat_ws(",", g(e)["paths"])
+        return b
+
+    def _str_of(g):
+        def b(e):
+            return g(e).cast("string")
+        return b
+
+    def _inner_transform(g, ib):
+        def b(e):
+            return F.transform(g(e), ib)
+        return b
+
+    def _identity(e):
+        return e
+
+    res = []
+    for f in dt.fields:
+        nm = f"{prefix}_{f.name}"
+        g = _field_of(get, f.name)
+        fdt = f.dataType
+        if isinstance(fdt, T.StructType):
+            if not fdt.fields:
+                res.append((nm, _sentinel, 0))
+            elif _is_timestamp_struct(fdt):
+                res.append((nm, _ts_of(g), 0))
+            elif {x.name for x in fdt.fields} == {"paths"}:
+                res.append((nm, _mask_of(g), 0))
+            else:
+                res.extend(_elem_exprs(fdt, g, nm))
+        elif isinstance(fdt, T.ArrayType):
+            if isinstance(fdt.elementType, T.StructType):
+                for inm, ib, iw in _elem_exprs(fdt.elementType, _identity, nm):
+                    res.append((inm, _inner_transform(g, ib), iw + 1))
+            else:
+                res.append((nm, g, 1))
+        elif isinstance(fdt, T.BinaryType):
+            res.append((nm, _str_of(g), 0))
+        else:
+            res.append((nm, g, 0))
+    return res
+
+
 def _flatten_field(col: Column, name: str, dt: T.DataType, out: list) -> None:
     if isinstance(dt, T.StructType):
         if not dt.fields:
@@ -68,13 +140,18 @@ def _flatten_field(col: Column, name: str, dt: T.DataType, out: list) -> None:
         )
         return
     if isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.StructType):
-        # repeated message: one multiValued column per leaf field of the
-        # element struct (repeated -> multiValued, :73-85)
-        def _extract(field_name):
-            return F.transform(col, lambda e: e[field_name])
-
-        for f in dt.elementType.fields:
-            out.append(_extract(f.name).alias(f"{name}_{f.name}"))
+        # repeated message: one multiValued column per LEAF field of the
+        # element struct (repeated -> multiValued, :73-85). The Java
+        # visitor recurses to leaves, so nested structs / Timestamps /
+        # inner repeated fields inside the element flatten too — a
+        # one-level extraction would leave array<struct> columns behind.
+        for leaf_name, builder, wraps in _elem_exprs(
+            dt.elementType, lambda e: e, name
+        ):
+            expr = F.transform(col, builder)
+            for _ in range(wraps):  # inner repeated levels pool flat
+                expr = F.flatten(expr)
+            out.append(expr.alias(leaf_name))
         return
     if isinstance(dt, T.BinaryType):
         # BytesValue -> UTF-8 string (:104-108)

@@ -219,8 +219,16 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     timestamps JVM-side (posexplode of a sequence — no Python, no payload
     read); the per-frame decode would plug into extract_features."""
     vids = media.filter(F.col("kind") == "video")
+    # every timestamp 0, every_ms, ... STRICTLY inside [0, duration):
+    # floor((duration-1)/every)+1 — a plain floor(duration/every) loses
+    # the last in-range frame whenever duration is not an exact multiple
+    # (1999 ms @ 1000 has frames 0 AND 1000) and emits an out-of-range
+    # one at exact multiples
     n = F.greatest(
-        F.lit(1), (F.col("meta.duration_ms") / F.lit(every_ms)).cast("int")
+        F.lit(1),
+        (
+            F.floor((F.col("meta.duration_ms") - 1) / F.lit(every_ms)) + 1
+        ).cast("int"),
     )
     return vids.select(
         "media_id",
